@@ -1,0 +1,133 @@
+"""Single config tree for the whole framework.
+
+Replaces the reference's ~30 argparse flags (/root/reference/main.py:120-157)
+plus per-game module constants with one serializable dataclass tree; the full
+config is embedded into every checkpoint like the reference's
+``additional_keys`` mechanism (/root/reference/GenericNNetWrapper.py:192-205).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, Optional, Tuple
+
+# The reference's per-universe "magic seeds" for pseudo-deterministic chance
+# during search (/root/reference/MCTS.py:14).
+MAGIC_SEEDS = (31416, 1, 14142, 42, 27183, 2, 16180, 7)
+
+
+@dataclasses.dataclass(frozen=True)
+class MCTSConfig:
+    """Search hyperparameters (defaults = reference main.py:127-147)."""
+    num_sims: int = 100            # full-search sims (--numMCTSSims)
+    cpuct: float = 1.25
+    fpu: float = 0.0               # >0: parent-relative Qs-fpu, <=0: absolute
+    dirichlet_alpha: float = -1.0  # >0 fixed, <0 auto 10/n_valid, 0 disabled
+    temp_soft: float = 1.1         # softmax temp on root prior (--temperature[2])
+    forced_playouts: bool = False
+    ratio_full: int = 5            # fast search sims = num_sims // ratio_full
+    prob_full: float = 0.25        # playout-cap randomization
+    universes: int = 1             # 0 => true-random chance during search
+    # array dtypes for the tree storage (memory/perf knobs)
+    q_dtype: str = "float32"
+    prior_dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class SelfPlayConfig:
+    batch_size: int = 256          # parallel games per self-play scan
+    temp_begin: float = 1.0        # --temperature[0]
+    temp_end: float = 0.1          # --temperature[1]
+    temp_half_life: int = 10       # --tempThreshold (<0 => step schedule)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learn_rate: float = 3e-4
+    epochs: int = 2
+    batch_size: int = 512
+    q_weight: float = 0.5          # value target = (Z + w*Q)/(1+w)
+    value_loss_weight: float = 0.25
+    replay_capacity: int = 500_000
+    num_iters: int = 50
+    num_iters_history: int = 5     # --numItersHistory
+    games_per_iter: int = 2048     # --numEps analog (games per iteration)
+    update_threshold: float = 0.60
+    arena_games: int = 64          # reference hardcodes 30 (main.py:159)
+    stop_after_n_fail: int = 25
+    symmetry_augment: bool = True  # random symmetry per training sample
+
+
+@dataclasses.dataclass(frozen=True)
+class NetConfig:
+    version: int = 1
+    channels: int = 128
+    depth: int = 6
+    dtype: str = "bfloat16"        # compute dtype (params stay float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class GameConfig:
+    name: str = "santorini"
+    variant: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    data_axis: int = -1            # -1 => all remaining devices
+    model_axis: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    game: GameConfig = dataclasses.field(default_factory=GameConfig)
+    mcts: MCTSConfig = dataclasses.field(default_factory=MCTSConfig)
+    selfplay: SelfPlayConfig = dataclasses.field(default_factory=SelfPlayConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    net: NetConfig = dataclasses.field(default_factory=NetConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    seed: int = 0
+    checkpoint_dir: str = "./checkpoints"
+
+    # ---- (de)serialization — embedded in checkpoints -----------------------
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        return cls(
+            game=GameConfig(**d.get("game", {})),
+            mcts=MCTSConfig(**d.get("mcts", {})),
+            selfplay=SelfPlayConfig(**d.get("selfplay", {})),
+            train=TrainConfig(**d.get("train", {})),
+            net=NetConfig(**d.get("net", {})),
+            mesh=MeshConfig(**d.get("mesh", {})),
+            seed=d.get("seed", 0),
+            checkpoint_dir=d.get("checkpoint_dir", "./checkpoints"),
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def diff_configs(old: Dict[str, Any], new: Dict[str, Any], prefix: str = ""):
+    """Flat diff of two config dicts — the reference's compare_settings
+    (/root/reference/main.py:64-83) as a library function."""
+    diffs = []
+    keys = sorted(set(old) | set(new))
+    for k in keys:
+        ov, nv = old.get(k, "<missing>"), new.get(k, "<missing>")
+        if isinstance(ov, dict) and isinstance(nv, dict):
+            diffs += diff_configs(ov, nv, prefix=f"{prefix}{k}.")
+        elif ov != nv:
+            diffs.append((f"{prefix}{k}", ov, nv))
+    return diffs

@@ -1,0 +1,26 @@
+"""Game registry — maps CLI names to GameSpec factories.
+
+TPU-native analog of the reference's GameSwitcher (/root/reference/GameSwitcher.py:3-35),
+with game variants expressed as factory kwargs instead of module-constant edits.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from alphazero_tpu.games.base import GameSpec, roll_returns
+from alphazero_tpu.games.santorini import make_santorini
+
+GAME_REGISTRY: Dict[str, Callable[..., GameSpec]] = {
+    "santorini": make_santorini,
+}
+
+
+def make_game(name: str, **kwargs) -> GameSpec:
+    if name not in GAME_REGISTRY:
+        raise KeyError(f"unknown game {name!r}; known: {sorted(GAME_REGISTRY)}")
+    return GAME_REGISTRY[name](**kwargs)
+
+
+__all__ = ["GameSpec", "GAME_REGISTRY", "make_game", "make_santorini",
+           "roll_returns"]

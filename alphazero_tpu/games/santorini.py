@@ -1,0 +1,318 @@
+"""Santorini — TPU-native vectorized engine.
+
+Behavioral reference: /root/reference/santorini/SantoriniLogicNumba.py (Board
+jitclass, 729 LoC) and /root/reference/santorini/SantoriniConstants.py.  This
+is a from-scratch pure-functional JAX implementation of the same rules: no
+Python loops over cells/directions — validity of all (worker, move, build)
+combinations is computed as one broadcasted tensor expression so thousands of
+boards step in lockstep under vmap+jit.
+
+State (5,5,3) int8, canonical (player to move = "positive" player):
+  ch 0: workers (+1,+2 current player, -1,-2 opponent)
+  ch 1: building levels 0..4 (4 = dome)
+  ch 2 (flattened to 25 cells): god-power bitfields, cells [0,NB_GODS) for the
+        current player, [NB_GODS,2*NB_GODS) for the opponent, cell 2*NB_GODS =
+        round counter (see reference lines 21-30).
+
+Action encoding (reference SantoriniConstants.py:24-34):
+  a = worker*NB_GODS*81 + god*81 + move_dir*9 + build_dir, dirs in a 3x3
+  pattern with 4 = "no move/build".
+
+Variant flags (module constants in the reference; config here):
+  nb_gods:      1 disables god powers (reference NB_GODS,
+                SantoriniConstants.py:19).  God powers land in a later round.
+  init_method:  0 = predefined worker placement, 1 = random placement
+                (reference INIT_METHOD, SantoriniLogicNumba.py:7-11).
+                NOTE: the reference's INIT_METHOD=0 path never sets the NO_GOD
+                power flag, which its own valid-move dispatch requires
+                (SantoriniLogicNumba.py:135); we set it at init so the
+                deterministic variant is actually playable.  The parity test
+                oracle is patched identically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from alphazero_tpu.games.base import GameSpec
+
+# God identifiers (reference SantoriniConstants.py:8-19).
+NO_GOD, APOLLO, MINOTAUR, ATLAS, HEPHAESTUS = 0, 1, 2, 3, 4
+ARTEMIS, DEMETER, HERMES, PAN, ATHENA, PROMETHEUS = 5, 6, 7, 8, 9, 10
+NO_MOVE = 4
+NO_BUILD = 4
+
+# Direction index d in 0..8 maps to (dy, dx) = (d//3 - 1, d%3 - 1)
+# (reference SantoriniLogicNumba.py:56-70).
+_DIRS_NP = np.array([[d // 3 - 1, d % 3 - 1] for d in range(9)], dtype=np.int32)
+
+# ---------------------------------------------------------------------------
+# Symmetry permutation tables (reference SantoriniConstants.py:37-79).
+# The reference applies permutations in scatter form (new[perm[i]] = old[i]);
+# we precompute the corresponding gather indices (new = old[g]).
+# ---------------------------------------------------------------------------
+
+_ROT_CORE = np.array([6, 3, 0, 7, 4, 1, 8, 5, 2], dtype=np.int64)   # 90° CCW
+_FLIPLR_CORE = np.array([2, 1, 0, 5, 4, 3, 8, 7, 6], dtype=np.int64)
+_FLIPUD_CORE = np.array([6, 7, 8, 3, 4, 5, 0, 1, 2], dtype=np.int64)
+
+
+def _action_perm(core: np.ndarray, nb_gods: int) -> np.ndarray:
+    """Scatter permutation of the action space induced by a direction perm."""
+    n = nb_gods * 2 * 81
+    a = np.arange(n)
+    worker, rest = np.divmod(a, nb_gods * 81)
+    god, rest = np.divmod(rest, 81)
+    m, b = np.divmod(rest, 9)
+    return worker * nb_gods * 81 + god * 81 + core[m] * 9 + core[b]
+
+
+def _inv(perm: np.ndarray) -> np.ndarray:
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return inv
+
+
+@dataclasses.dataclass(frozen=True)
+class SantoriniMeta:
+    nb_gods: int
+    init_method: int
+
+
+def make_santorini(num_players: int = 2, nb_gods: int = 1,
+                   init_method: int = 0) -> GameSpec:
+    """Build the Santorini GameSpec.  nb_gods=1 => no god powers."""
+    if num_players != 2:
+        raise ValueError("Santorini is a 2-player game")
+    if nb_gods != 1:
+        raise NotImplementedError(
+            "god powers are not implemented yet; use nb_gods=1")
+    if init_method not in (0, 1):
+        raise ValueError("init_method must be 0 (predefined) or 1 (random)")
+
+    num_actions = nb_gods * 2 * 81
+    round_cell = 2 * nb_gods  # flat index of the round counter in channel 2
+
+    dirs = jnp.asarray(_DIRS_NP)
+
+    # --- symmetry gather tables -------------------------------------------
+    rot_g = _inv(_action_perm(_ROT_CORE, nb_gods))
+    rot_g2 = rot_g[rot_g]
+    rot_g3 = rot_g2[rot_g]
+    fliplr_g = _inv(_action_perm(_FLIPLR_CORE, nb_gods))
+    flipud_g = _inv(_action_perm(_FLIPUD_CORE, nb_gods))
+    half = num_actions // 2
+    swapw_g = np.concatenate([np.arange(half, num_actions), np.arange(half)])
+    ident_g = np.arange(num_actions)
+    # order matches reference get_symmetries (SantoriniLogicNumba.py:578-653):
+    # identity, rot90, rot180, rot270, flipLR, flipUD, swap own workers,
+    # swap opponent workers.
+    action_gathers = jnp.asarray(
+        np.stack([ident_g, rot_g, rot_g2, rot_g3, fliplr_g, flipud_g,
+                  swapw_g, ident_g]), dtype=jnp.int32)
+    num_symmetries = 8
+
+    # --- helpers -----------------------------------------------------------
+
+    def _planes(state):
+        workers = state[:, :, 0].astype(jnp.int32)
+        levels = state[:, :, 1].astype(jnp.int32)
+        gods = state[:, :, 2].reshape(25).astype(jnp.int32)
+        return workers, levels, gods
+
+    def _worker_yx(workers, wid):
+        flat = jnp.argmax((workers.reshape(25) == wid).astype(jnp.int32))
+        return jnp.stack([flat // 5, flat % 5])
+
+    def _at(plane, yx):
+        """Gather plane[y, x] for trailing-dim-2 index arrays, clipped."""
+        c = jnp.clip(yx, 0, 4)
+        return plane[c[..., 0], c[..., 1]]
+
+    def _in_grid(yx):
+        return jnp.all((yx >= 0) & (yx <= 4), axis=-1)
+
+    # --- valid moves (reference Board.valid_moves, lines 125-432) ----------
+
+    def _valids_tensor(state):
+        """(2, 9, 9) validity of (worker, move_dir, build_dir) — NO_GOD rules
+        (reference lines 135-151)."""
+        workers, levels, _ = _planes(state)
+        pos = jnp.stack([_worker_yx(workers, 1), _worker_yx(workers, 2)])  # (2,2)
+        wid = jnp.array([1, 2], jnp.int32)
+
+        newpos = pos[:, None, :] + dirs[None]            # (2,9,2)
+        dir_ids = jnp.arange(9)
+        move_in = _in_grid(newpos)
+        w_new = _at(workers, newpos)
+        l_new = _at(levels, newpos)
+        l_old = _at(levels, pos)[:, None]
+        move_ok = (move_in
+                   & (dir_ids != NO_MOVE)[None]
+                   & (w_new == 0)
+                   & (l_new <= 3)
+                   & (l_new <= l_old + 1))               # (2,9)
+
+        buildpos = newpos[:, :, None, :] + dirs[None, None]  # (2,9,9,2)
+        build_in = _in_grid(buildpos)
+        w_b = _at(workers, buildpos)
+        l_b = _at(levels, buildpos)
+        build_ok = (build_in
+                    & (dir_ids != NO_BUILD)[None, None]
+                    & ((w_b == 0) | (w_b == wid[:, None, None]))
+                    & (l_b < 4))                          # (2,9,9)
+
+        return move_ok[:, :, None] & build_ok            # (2,9,9)
+
+    def valids(state):
+        # nb_gods == 1: the only god slot is NO_GOD, so (2,9,9) == action space.
+        return _valids_tensor(state).reshape(num_actions)
+
+    # --- make_move (reference Board.make_move, lines 434-550) --------------
+
+    def step(state, action, key, seed):
+        del key, seed  # no chance nodes in no-gods Santorini moves
+        workers, levels, gods = _planes(state)
+        rest = action % (nb_gods * 81)
+        w = action // (nb_gods * 81)
+        rest2 = rest % 81
+        m, b = rest2 // 9, rest2 % 9
+        wid = w + 1
+
+        pos = jnp.where(wid == 1, _worker_yx(workers, 1), _worker_yx(workers, 2))
+        new = pos + dirs[m]
+        workers = workers.at[pos[0], pos[1]].set(0)
+        workers = workers.at[new[0], new[1]].set(wid)
+        bp = jnp.clip(new + dirs[b], 0, 4)
+        levels = levels.at[bp[0], bp[1]].add(jnp.where(b != NO_BUILD, 1, 0))
+
+        # reset current player's transient god info (reference lines 473-476)
+        own = jnp.arange(25) < nb_gods
+        gods = jnp.where(own, jnp.minimum(64, gods), gods)
+        # round counter, saturating at 127 (reference lines 543-545)
+        gods = gods.at[round_cell].add(
+            jnp.where(gods[round_cell] < 127, 1, 0))
+
+        nxt = jnp.stack([workers.astype(jnp.int8), levels.astype(jnp.int8),
+                         gods.reshape(5, 5).astype(jnp.int8)], axis=-1)
+        swap = jnp.int32(1)  # no play-again without god powers
+        return nxt, swap
+
+    # --- swap_players (reference lines 567-576) -----------------------------
+
+    def canonical(state, swap):
+        workers = state[:, :, 0]
+        gods = state[:, :, 2].reshape(25)
+        idx = jnp.arange(25)
+        rolled = gods[jnp.where(idx < 2 * nb_gods,
+                                (idx + nb_gods) % (2 * nb_gods), idx)]
+        swapped = jnp.stack(
+            [(-workers).astype(jnp.int8), state[:, :, 1],
+             rolled.reshape(5, 5).astype(jnp.int8)], axis=-1)
+        return jnp.where((swap % num_players) == 1, swapped, state)
+
+    # --- check_end_game (reference lines 552-565) ---------------------------
+
+    def get_score(state, player):
+        workers, levels, _ = _planes(state)
+        mine = jnp.where(player == 0, workers > 0, workers < 0)
+        return jnp.max(jnp.where(mine, levels, 0)).astype(jnp.float32)
+
+    def terminal(state):
+        _, _, gods = _planes(state)
+        s0, s1 = get_score(state, 0), get_score(state, 1)
+        p0_pan = gods[PAN + nb_gods * 0] > 64 if nb_gods > PAN else False
+        p1_pan = gods[PAN + nb_gods * 1] > 64 if nb_gods > PAN else False
+        p0_win = (s0 == 3) | p0_pan
+        p1_win = (s1 == 3) | p1_pan
+        blocked = ~jnp.any(valids(state))
+        win0 = jnp.array([1.0, -1.0], jnp.float32)
+        win1 = jnp.array([-1.0, 1.0], jnp.float32)
+        none = jnp.zeros(2, jnp.float32)
+        # priority: p0 win, then p1 win, then current player blocked => p1 win
+        return jnp.where(p0_win, win0,
+                         jnp.where(p1_win | blocked, win1, none))
+
+    # --- init (reference Board.init_game, lines 99-120) ---------------------
+
+    def init(key):
+        workers = jnp.zeros((5, 5), jnp.int8)
+        gods = jnp.zeros(25, jnp.int8)
+        if init_method == 0:
+            workers = workers.at[2, 1].set(1).at[2, 3].set(2)
+            workers = workers.at[1, 2].set(-1).at[3, 2].set(-2)
+        else:
+            cells = jax.random.choice(key, 25, (4,), replace=False)
+            # reference places in order [1, -1, 2, -2] (line 110)
+            vals = jnp.array([1, -1, 2, -2], jnp.int8)
+            workers = workers.reshape(25).at[cells].set(vals).reshape(5, 5)
+        gods = gods.at[NO_GOD + nb_gods * 0].set(64)
+        gods = gods.at[NO_GOD + nb_gods * 1].set(64)
+        return jnp.stack([workers, jnp.zeros((5, 5), jnp.int8),
+                          gods.reshape(5, 5)], axis=-1)
+
+    # --- misc ---------------------------------------------------------------
+
+    def observe(state):
+        return state.astype(jnp.float32)
+
+    def get_round(state):
+        return state[:, :, 2].reshape(25)[round_cell].astype(jnp.int32)
+
+    # --- symmetries (reference Board.get_symmetries, lines 578-653) ---------
+
+    def symmetries(state, pi, valid):
+        workers = state[:, :, 0]
+        levels = state[:, :, 1]
+        godp = state[:, :, 2]
+
+        def pack(w, l):
+            return jnp.stack([w, l, godp], axis=-1)
+
+        states = [state]
+        w, l = workers, levels
+        for _ in range(3):
+            w, l = jnp.rot90(w), jnp.rot90(l)
+            states.append(pack(w, l))
+        states.append(pack(jnp.fliplr(workers), jnp.fliplr(levels)))
+        states.append(pack(jnp.flipud(workers), jnp.flipud(levels)))
+
+        # swap own workers 1<->2 (state values swapped, policy halves swapped)
+        sw = jnp.where(workers == 1, 2,
+                       jnp.where(workers == 2, 1, workers)).astype(jnp.int8)
+        states.append(pack(sw, levels))
+        # swap opponent workers -1<->-2 (policy unchanged)
+        so = jnp.where(workers == -1, -2,
+                       jnp.where(workers == -2, -1, workers)).astype(jnp.int8)
+        states.append(pack(so, levels))
+
+        st = jnp.stack(states)                      # (8, 5, 5, 3)
+        pis = pi[action_gathers]                    # (8, A)
+        vas = valid[action_gathers]
+        return st, pis, vas
+
+    return GameSpec(
+        name=f"santorini{'_nogods' if nb_gods == 1 else ''}"
+             f"{'_detinit' if init_method == 0 else ''}",
+        num_players=num_players,
+        state_shape=(5, 5, 3),
+        obs_shape=(5, 5, 3),
+        num_actions=num_actions,
+        max_game_length=128,
+        init=init,
+        valids=valids,
+        step=step,
+        canonical=canonical,
+        terminal=terminal,
+        observe=observe,
+        get_round=get_round,
+        get_score=get_score,
+        symmetries=symmetries,
+        num_symmetries=num_symmetries,
+        meta=SantoriniMeta(nb_gods=nb_gods, init_method=init_method),
+    )

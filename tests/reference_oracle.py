@@ -1,0 +1,113 @@
+"""Import the read-only upstream reference as a pure-Python test oracle.
+
+The reference (/root/reference) relies on numba, which is not installed here.
+Since every @njit function and jitclass is plain Python underneath, we install
+a no-op numba stub and import the reference modules unchanged — no reference
+code is copied into this repo; it is executed in place purely to generate
+golden behavior for parity tests.
+
+Variant patching: the reference encodes variants as module constants
+(NB_GODS, INIT_METHOD — see SURVEY.md §2.4).  We patch those module globals
+after import and regenerate the derived permutation tables.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+
+REFERENCE_PATH = "/root/reference"
+
+
+class _NumbaTypeStub:
+    def __getitem__(self, item):
+        return self
+
+    def __call__(self, *a, **k):
+        return self
+
+
+def _njit(*args, **kwargs):
+    if args and callable(args[0]):
+        return args[0]
+
+    def deco(fn):
+        return fn
+
+    return deco
+
+
+def install_numba_stub():
+    if "numba" in sys.modules and getattr(sys.modules["numba"], "_is_stub", False):
+        return
+    numba = types.ModuleType("numba")
+    numba._is_stub = True
+    numba.njit = _njit
+    numba.jit = _njit
+
+    def _getattr(name):  # int8, float32, bool_, ... type expressions
+        return _NumbaTypeStub()
+
+    numba.__getattr__ = _getattr
+
+    experimental = types.ModuleType("numba.experimental")
+
+    def jitclass(spec=None):
+        if isinstance(spec, type):
+            return spec
+
+        def deco(cls):
+            return cls
+
+        return deco
+
+    experimental.jitclass = jitclass
+    numba.experimental = experimental
+    sys.modules["numba"] = numba
+    sys.modules["numba.experimental"] = experimental
+
+
+def import_reference_santorini(nb_gods: int = 1, init_method: int = 0):
+    """Import the reference Santorini logic with patched variant constants.
+
+    Returns the (patched) SantoriniLogicNumba module.
+    """
+    install_numba_stub()
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    # force fresh import so repeated patching is deterministic
+    for mod in list(sys.modules):
+        if mod.startswith("santorini"):
+            del sys.modules[mod]
+    import santorini.SantoriniConstants as C
+    import santorini.SantoriniLogicNumba as L
+
+    C.NB_GODS = nb_gods
+    L.NB_GODS = nb_gods
+    L.INIT_METHOD = init_method
+    # regenerate permutation tables for the patched action space
+    C.rotation = np.array(C._generate_permutation(C.rotation_core), dtype=np.int16)
+    C.flipLR = np.array(C._generate_permutation(C.flipLR_core), dtype=np.int16)
+    C.flipUD = np.array(C._generate_permutation(C.flipUD_core), dtype=np.int16)
+    L.rotation, L.flipLR, L.flipUD = C.rotation, C.flipLR, C.flipUD
+    C.rotation_gods = np.array(C._generate_permutation_god(C.rotation_core), dtype=np.int16)
+    C.flipLR_gods = np.array(C._generate_permutation_god(C.flipLR_core), dtype=np.int16)
+    C.flipUD_gods = np.array(C._generate_permutation_god(C.flipUD_core), dtype=np.int16)
+    L.rotation_gods, L.flipLR_gods, L.flipUD_gods = (
+        C.rotation_gods, C.flipLR_gods, C.flipUD_gods)
+    return L
+
+
+def make_oracle_board(L, nb_gods: int = 1):
+    """Construct a reference Board in the deterministic variant.
+
+    The reference's INIT_METHOD=0 never sets the NO_GOD power flag its own
+    dispatch requires (SantoriniLogicNumba.py:103-106 vs :135), so we set it —
+    mirroring alphazero_tpu.games.santorini.make_santorini's init.
+    """
+    b = L.Board(2)
+    b.gods_power.flat[0 + nb_gods * 0] = 64
+    b.gods_power.flat[0 + nb_gods * 1] = 64
+    return b
