@@ -1,0 +1,188 @@
+"""Batched on-device MCTS.
+
+TPU-native re-design of the reference MCTS (/root/reference/MCTS.py:19-261):
+instead of N Python threads funnelling single-board NN evals into one batched
+ONNX call (GenericNNetWrapper.py:122-157), B independent trees run in lockstep
+inside one jitted lax.scan — each simulation's leaf evaluations across all
+trees form one natural NN batch on the MXU.
+
+Preserved algorithmic package (per SURVEY.md §7): PUCT + FPU + forced
+playouts (root only) + policy-target pruning + Dirichlet(auto-alpha) root
+noise + softmax prior temperature + playout-cap randomization budgets +
+Q tracking + per-player value vectors + universes magic seeds.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from alphazero_tpu.config import MCTSConfig, MAGIC_SEEDS
+from alphazero_tpu.games.base import GameSpec
+from alphazero_tpu.search.tree import (
+    FORCED_K, Tree, empty_tree, expand_and_backup, init_root, select_leaf)
+
+# eval_fn(obs (B,...), valids (B,A)) -> (prior (B,A) normalized, value (B,P))
+EvalFn = Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]
+
+
+class MCTSOutput(NamedTuple):
+    counts: jax.Array       # (B, A) float32 — visit counts, pruning applied
+    q: jax.Array            # (B, P) float32 — root Q expanded per player
+    root_valids: jax.Array  # (B, A) bool
+    root_prior: jax.Array   # (B, A) — post-noise root prior
+    tree_nodes: jax.Array   # (B,) int32 — nodes used (diagnostics)
+
+
+def _power_temp(p: jax.Array, temp: float) -> jax.Array:
+    """Reference 'softmax' on the root prior: p**(1/t), renormalized
+    (/root/reference/MCTS.py:255-261)."""
+    if temp == 1.0:
+        return p
+    q = p ** (1.0 / temp)
+    return q / jnp.sum(q, axis=-1, keepdims=True)
+
+
+def add_dirichlet(key, prior, valids, alpha: float):
+    """Root Dirichlet noise over valid moves only
+    (/root/reference/MCTS.py:187-197).  alpha < 0 => auto 10/n_valid."""
+    n_valid = jnp.sum(valids, axis=-1, keepdims=True)
+    if alpha > 0:
+        a = jnp.full(prior.shape, alpha, prior.dtype)
+    else:
+        a = jnp.broadcast_to(10.0 / jnp.maximum(n_valid, 1), prior.shape)
+    g = jax.random.gamma(key, jnp.where(valids, a, 1.0)).astype(prior.dtype)
+    g = jnp.where(valids, g, 0.0)
+    noise = g / jnp.maximum(jnp.sum(g, axis=-1, keepdims=True), 1e-30)
+    return jnp.where(valids, 0.75 * prior + 0.25 * noise, prior)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "eval_fn", "cfg", "num_sims_max", "use_noise"))
+def run_mcts(spec: GameSpec, eval_fn: EvalFn, root_states: jax.Array,
+             key: jax.Array, budgets: jax.Array, noise_mask: jax.Array,
+             forced_mask: jax.Array, *, cfg: MCTSConfig, num_sims_max: int,
+             use_noise: bool = True) -> MCTSOutput:
+    """Run MCTS from B root states.
+
+    budgets:     (B,) int32 — per-lane simulation budgets (<= num_sims_max);
+                 playout-cap randomization runs full/fast lanes in one scan.
+    noise_mask:  (B,) bool — apply root Dirichlet noise (full-search lanes
+                 during self-play; reference MCTS.py:64).
+    forced_mask: (B,) bool — forced playouts + policy target pruning.
+    """
+    B = root_states.shape[0]
+    qdt = jnp.dtype(cfg.q_dtype)
+    pdt = jnp.dtype(cfg.prior_dtype)
+
+    # --- root expansion (simulation 0, reference MCTS.py:140-154) ----------
+    root_valids = jax.vmap(spec.valids)(root_states)
+    prior0, v0 = eval_fn(jax.vmap(spec.observe)(root_states), root_valids)
+    if use_noise:
+        p = _power_temp(prior0, cfg.temp_soft)
+        p = add_dirichlet(jax.random.fold_in(key, 0), p, root_valids,
+                          cfg.dirichlet_alpha)
+        p = p / jnp.maximum(jnp.sum(p, -1, keepdims=True), 1e-30)
+        prior0 = jnp.where(noise_mask[:, None], p, prior0)
+
+    trees = jax.vmap(lambda: empty_tree(spec, num_sims_max + 1, qdt, pdt),
+                     axis_size=B)()
+    trees = jax.vmap(init_root)(trees, root_states, root_valids,
+                                prior0, v0[:, 0])
+
+    magic = jnp.asarray(MAGIC_SEEDS, jnp.int32)
+
+    def one_sim(trees, sim_idx):
+        active = sim_idx < budgets                      # (B,)
+        skey = jax.random.fold_in(key, sim_idx)
+        # universes: deterministic chance seed per simulation
+        # (reference MCTS.py:62-63); <=0 => true-random via PRNG key.
+        if cfg.universes > 0:
+            seed = magic[sim_idx % cfg.universes]
+        else:
+            seed = jnp.int32(-1)
+        seeds = jnp.full((B,), seed, jnp.int32)
+
+        parent, action, existing = jax.vmap(
+            lambda t, f: select_leaf(t, cfg.cpuct, cfg.fpu, f, sim_idx)
+        )(trees, forced_mask)
+
+        parent_states = trees.states[jnp.arange(B), parent]
+        step_keys = jax.random.split(skey, B)
+        child_state, child_swap = jax.vmap(spec.step_canonical)(
+            parent_states, action, step_keys, seeds)
+        child_valids = jax.vmap(spec.valids)(child_state)
+        child_term = jax.vmap(spec.terminal)(child_state)
+        child_prior, child_value = eval_fn(
+            jax.vmap(spec.observe)(child_state), child_valids)
+
+        trees = jax.vmap(expand_and_backup)(
+            trees, parent, action, existing, child_state, child_swap,
+            child_valids, child_prior, child_value, child_term, active)
+        return trees, None
+
+    trees, _ = jax.lax.scan(one_sim, trees,
+                            jnp.arange(1, num_sims_max, dtype=jnp.int32))
+
+    # --- outputs (reference getActionProb, MCTS.py:67-83) -------------------
+    counts = trees.nsa[:, 0].astype(jnp.float32)        # (B, A)
+    q0 = trees.qs[:, 0].astype(jnp.float32)             # (B,)
+    # root Q expanded to a per-player vector (MCTS.py:70-72)
+    P = spec.num_players
+    q = jnp.concatenate(
+        [q0[:, None], jnp.tile((-q0 / (P - 1))[:, None], (1, P - 1))], axis=1)
+
+    # policy target pruning (KataGo; MCTS.py:75-80)
+    root_prior = trees.prior[:, 0].astype(jnp.float32)
+    best = jnp.max(counts, axis=-1, keepdims=True)
+    sub = jnp.floor(jnp.sqrt(
+        FORCED_K * root_prior * budgets[:, None].astype(jnp.float32)))
+    adjusted = jnp.where(counts == best, counts, counts - sub)
+    adjusted = jnp.where(adjusted > 1, adjusted, 0.0)
+    counts = jnp.where(forced_mask[:, None], adjusted, counts)
+
+    return MCTSOutput(counts=counts, q=q, root_valids=root_valids,
+                      root_prior=root_prior, tree_nodes=trees.next_free)
+
+
+# ---------------------------------------------------------------------------
+# Action selection from visit counts (temperature semantics of the reference
+# getActionProb tail, MCTS.py:93-103, + Coach.random_pick, Coach.py:278-292).
+# ---------------------------------------------------------------------------
+
+def sample_action(key, counts, temp):
+    """Sample ∝ counts**(1/temp); temp <= 0.02 => uniform over argmaxes."""
+    logc = jnp.where(counts > 0, jnp.log(jnp.maximum(counts, 1e-30)), -jnp.inf)
+    logits_t = logc / jnp.maximum(temp, 1e-6)
+    ties = counts >= jnp.max(counts, axis=-1, keepdims=True)
+    logits_am = jnp.where(ties, 0.0, -jnp.inf)
+    logits = jnp.where(temp <= 0.02, logits_am, logits_t)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+def argmax_action(key, counts, temp):
+    """Arena/pit action: argmax of the tempered policy — first-index argmax
+    for temp > 0.02, random tie-break among maxima otherwise
+    (reference pit.py:59-63 + MCTS.py:93-98)."""
+    first = jnp.argmax(counts, axis=-1)
+    ties = counts >= jnp.max(counts, axis=-1, keepdims=True)
+    logits_am = jnp.where(ties, 0.0, -jnp.inf)
+    rnd = jax.random.categorical(key, logits_am, axis=-1)
+    return jnp.where(temp <= 0.02, rnd, first)
+
+
+def temp_for_selfplay(cfg, n):
+    """Exponential decay temperature (reference Coach.py:266-271)."""
+    t0, t1, hl = cfg.temp_begin, cfg.temp_end, cfg.temp_half_life
+    if hl < 0:
+        return jnp.where(n > -hl, t1, t0)
+    return t1 + (t0 - t1) * 0.5 ** (n / hl)
+
+
+def temp_for_game(half_life, n):
+    """Arena temperature decay 0.5 -> 0 (reference Coach.py:274-276)."""
+    return 0.5 * 0.5 ** (n / abs(half_life))

@@ -1,0 +1,220 @@
+"""Fixed-size array search trees for batched on-device MCTS.
+
+The reference stores one dict entry per state keyed by board bytes
+(/root/reference/MCTS.py:39-47,125-126).  On TPU that becomes a preallocated
+node arena per tree: ``num_sims`` simulations expand at most ``num_sims``
+nodes, so every array has a static leading node dimension and thousands of
+trees run in lockstep under ``vmap``.
+
+Divergence from the reference (documented, see SURVEY.md §7 "hard parts"):
+nodes are tree-shaped (parent pointers), not a transposition table — two
+paths reaching the same state create two nodes.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from alphazero_tpu.games.base import GameSpec
+
+# Reference constants (/root/reference/MCTS.py:10-14).
+EPS = 1e-8
+FORCED_K = 0.5
+
+
+@struct.dataclass
+class Tree:
+    """One search tree (no leading batch dim; callers vmap).
+
+    Node 0 is the root.  ``children[n, a] == -1`` means edge (n, a) has not
+    been expanded.  Value vectors are per-player in each node's own canonical
+    frame (index 0 = player to move at that node).
+    """
+
+    states: jax.Array         # (N, *state_shape) int8
+    prior: jax.Array          # (N, A) prior_dtype — NN policy (root: + noise)
+    valid: jax.Array          # (N, A) bool
+    term_val: jax.Array       # (N, P) float32 — terminal result vector
+    is_term: jax.Array        # (N,) bool
+    n_visit: jax.Array        # (N,) int32 — Ns
+    nsa: jax.Array            # (N, A) int32
+    qsa: jax.Array            # (N, A) q_dtype
+    qs: jax.Array             # (N,) q_dtype — running node value
+    children: jax.Array       # (N, A) int32
+    parent: jax.Array         # (N,) int32
+    parent_action: jax.Array  # (N,) int32
+    swap: jax.Array           # (N,) int32 — player shift parent -> this node
+    next_free: jax.Array      # () int32
+
+
+def empty_tree(spec: GameSpec, num_nodes: int, q_dtype=jnp.float32,
+               prior_dtype=jnp.float32) -> Tree:
+    N, A, P = num_nodes, spec.num_actions, spec.num_players
+    return Tree(
+        states=jnp.zeros((N, *spec.state_shape), jnp.int8),
+        prior=jnp.zeros((N, A), prior_dtype),
+        valid=jnp.zeros((N, A), bool),
+        term_val=jnp.zeros((N, P), jnp.float32),
+        is_term=jnp.zeros((N,), bool),
+        n_visit=jnp.zeros((N,), jnp.int32),
+        nsa=jnp.zeros((N, A), jnp.int32),
+        qsa=jnp.zeros((N, A), q_dtype),
+        qs=jnp.zeros((N,), q_dtype),
+        children=jnp.full((N, A), -1, jnp.int32),
+        parent=jnp.zeros((N,), jnp.int32),
+        parent_action=jnp.zeros((N,), jnp.int32),
+        swap=jnp.zeros((N,), jnp.int32),
+        next_free=jnp.int32(1),
+    )
+
+
+def init_root(tree: Tree, state, valids, prior, value0) -> Tree:
+    """Install the root node (the reference's first search() call — the
+    Ps-is-None expansion branch, /root/reference/MCTS.py:140-154)."""
+    return tree.replace(
+        states=tree.states.at[0].set(state),
+        prior=tree.prior.at[0].set(prior.astype(tree.prior.dtype)),
+        valid=tree.valid.at[0].set(valids),
+        qs=tree.qs.at[0].set(value0.astype(tree.qs.dtype)),
+        next_free=jnp.int32(1),
+    )
+
+
+def puct_action(tree: Tree, node, cpuct: float, fpu: float,
+                forced_now, sim_idx) -> jax.Array:
+    """Action selection — reference pick_highest_UCB
+    (/root/reference/MCTS.py:210-230) vectorized over actions.
+
+    forced_now: traced bool — forced playouts active for this node this sim
+    (the reference applies them only at the root: search() recurses with
+    forced_playouts=False, MCTS.py:175).
+    """
+    qdt = tree.qs.dtype
+    P = tree.prior[node].astype(qdt)
+    V = tree.valid[node]
+    Nsa = tree.nsa[node]
+    Qsa = tree.qsa[node]
+    Ns = tree.n_visit[node].astype(qdt)
+    Qs = tree.qs[node]
+
+    if fpu > 0:          # parent-relative FPU (static config branch)
+        fpu_init = Qs - qdt.type(fpu)
+    else:                # absolute FPU
+        fpu_init = qdt.type(fpu)
+
+    u_unvis = fpu_init + cpuct * P * jnp.sqrt(Ns + EPS)
+    u_vis = Qsa + cpuct * P * jnp.sqrt(Ns) / (1 + Nsa).astype(qdt)
+    u = jnp.where(Nsa > 0, u_vis, u_unvis)
+    u = jnp.where(V, u, -jnp.inf)
+    best = jnp.argmax(u)
+
+    # forced playout: first valid action with Nsa < floor(sqrt(k*P*sim_idx))
+    thr = jnp.floor(jnp.sqrt(FORCED_K * P * sim_idx.astype(qdt))).astype(jnp.int32)
+    forced_mask = V & (Nsa < thr) & forced_now
+    return jnp.where(jnp.any(forced_mask), jnp.argmax(forced_mask), best)
+
+
+def select_leaf(tree: Tree, cpuct: float, fpu: float, allow_forced,
+                sim_idx) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Walk from the root to an unexpanded edge or a terminal node.
+
+    Returns (parent, action, existing_child) where existing_child >= 0 iff
+    the walk stopped at an already-expanded terminal child (no new node).
+    """
+
+    def pick(node):
+        return puct_action(tree, node, cpuct, fpu,
+                           allow_forced & (node == 0), sim_idx)
+
+    def cond_fn(c):
+        _, _, ch = c
+        return (ch >= 0) & ~tree.is_term[jnp.maximum(ch, 0)]
+
+    def body_fn(c):
+        _, _, ch = c
+        cur = ch
+        a = pick(cur)
+        return cur, a, tree.children[cur, a]
+
+    a0 = pick(jnp.int32(0))
+    cur, a, ch = jax.lax.while_loop(
+        cond_fn, body_fn, (jnp.int32(0), a0, tree.children[0, a0]))
+    return cur, a, ch
+
+
+def expand_and_backup(tree: Tree, parent, action, existing_child,
+                      child_state, child_swap, child_valids, child_prior,
+                      child_value, child_term, active) -> Tree:
+    """Expand one leaf (if new) and back the value up to the root.
+
+    Reference semantics: expansion is MCTS.py:140-154 (store Ps/Vs, return v),
+    terminal hits return Es without touching the terminal node (MCTS.py:130-138),
+    and the backup recurrence is MCTS.py:175-183:
+        v_parent = np.roll(v_child, swap)
+        Qsa[a]   = (Nsa*Qsa + v0) / (Nsa+1)
+        Qs       = ((Ns+1)*Qs + v0) / (Ns+2)
+        Nsa += 1 ; Ns += 1
+    ``active`` masks the whole simulation off (per-lane playout-cap budgets).
+    """
+    is_new = existing_child < 0
+    child_is_term = jnp.any(child_term != 0)
+    new_idx = tree.next_free
+    start = jnp.where(is_new, new_idx, existing_child)
+
+    # value to propagate, in the leaf's own frame
+    stored_term = tree.term_val[jnp.maximum(existing_child, 0)]
+    v_leaf = jnp.where(is_new,
+                       jnp.where(child_is_term, child_term, child_value),
+                       stored_term)
+
+    wmask = active & is_new
+
+    def mset(arr, idx, val):
+        val = jnp.asarray(val, arr.dtype)
+        return arr.at[idx].set(jnp.where(wmask, val, arr[idx]))
+
+    tree = tree.replace(
+        states=mset(tree.states, new_idx, child_state),
+        prior=mset(tree.prior, new_idx, child_prior),
+        valid=mset(tree.valid, new_idx, child_valids),
+        term_val=mset(tree.term_val, new_idx, child_term),
+        is_term=mset(tree.is_term, new_idx, child_is_term),
+        qs=mset(tree.qs, new_idx, v_leaf[0]),
+        parent=mset(tree.parent, new_idx, parent),
+        parent_action=mset(tree.parent_action, new_idx, action),
+        swap=mset(tree.swap, new_idx, child_swap),
+        children=tree.children.at[parent, action].set(
+            jnp.where(wmask, new_idx, tree.children[parent, action])),
+        next_free=tree.next_free + jnp.where(wmask, 1, 0),
+    )
+
+    # --- backup -------------------------------------------------------------
+    qdt = tree.qs.dtype
+    v0 = v_leaf.astype(qdt)
+    n0 = jnp.where(active, start, 0)  # inactive lanes skip the walk
+
+    def bcond(c):
+        n, *_ = c
+        return n != 0
+
+    def bbody(c):
+        n, v, qsa, nsa, ns, qs = c
+        p = tree.parent[n]
+        a = tree.parent_action[n]
+        v = jnp.roll(v, tree.swap[n])
+        n_old = nsa[p, a]
+        qsa = qsa.at[p, a].set((n_old.astype(qdt) * qsa[p, a] + v[0])
+                               / (n_old + 1).astype(qdt))
+        ns_old = ns[p].astype(qdt)
+        qs = qs.at[p].set(((ns_old + 1) * qs[p] + v[0]) / (ns_old + 2))
+        nsa = nsa.at[p, a].add(1)
+        ns = ns.at[p].add(1)
+        return p, v, qsa, nsa, ns, qs
+
+    _, _, qsa, nsa, ns, qs = jax.lax.while_loop(
+        bcond, bbody, (n0, v0, tree.qsa, tree.nsa, tree.n_visit, tree.qs))
+    return tree.replace(qsa=qsa, nsa=nsa, n_visit=ns, qs=qs)

@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# float64 tree math is required for exact search parity with the reference's
+# Python-float MCTS; framework code uses explicit dtypes so this only enables
+# (not forces) wide types.
+jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_matmul_precision", "float32")
 
 assert jax.devices()[0].platform == "cpu"
