@@ -189,14 +189,15 @@ def make_santorini(num_players: int = 2, nb_gods: int = 1,
         workers = workers.at[pos[0], pos[1]].set(0)
         workers = workers.at[new[0], new[1]].set(wid)
         bp = jnp.clip(new + dirs[b], 0, 4)
-        levels = levels.at[bp[0], bp[1]].add(jnp.where(b != NO_BUILD, 1, 0))
+        levels = levels.at[bp[0], bp[1]].add(
+            jnp.where(b != NO_BUILD, 1, 0).astype(levels.dtype))
 
         # reset current player's transient god info (reference lines 473-476)
         own = jnp.arange(25) < nb_gods
         gods = jnp.where(own, jnp.minimum(64, gods), gods)
         # round counter, saturating at 127 (reference lines 543-545)
         gods = gods.at[round_cell].add(
-            jnp.where(gods[round_cell] < 127, 1, 0))
+            jnp.where(gods[round_cell] < 127, 1, 0).astype(gods.dtype))
 
         nxt = jnp.stack([workers.astype(jnp.int8), levels.astype(jnp.int8),
                          gods.reshape(5, 5).astype(jnp.int8)], axis=-1)

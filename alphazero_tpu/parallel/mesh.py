@@ -1,0 +1,62 @@
+"""Device mesh + sharding utilities.
+
+The reference's complete parallelism inventory is intra-process thread
+batching + manual process scale-out + Ray PBT over the filesystem (SURVEY.md
+§2.5).  The TPU-native equivalents here:
+
+- mesh ('data', 'model'): self-play lanes and training batches shard over
+  'data' (the actor/learner data-parallel axis); large dense kernels may
+  shard over 'model' (tensor parallelism).  XLA inserts psum/all-gather
+  collectives over ICI automatically from input shardings (GSPMD) — no
+  hand-written communication backend, by design.
+- multi-host: the same code runs under jax.distributed with a global mesh;
+  nothing here assumes single-process.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_data: int = -1, num_model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if num_data == -1:
+        num_data = len(devices) // num_model
+    n = num_data * num_model
+    dev = np.asarray(devices[:n]).reshape(num_data, num_model)
+    return Mesh(dev, axis_names=("data", "model"))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a pytree of (B, ...) arrays with B sharded over 'data'."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, data_sharding(mesh, x.ndim)), batch)
+
+
+def shard_params(params, mesh: Mesh, model_parallel: bool = True):
+    """Place parameters: tensor-parallel shard of large 2D kernels over
+    'model' (last dim), everything else replicated."""
+    model_size = mesh.shape["model"]
+
+    def place(x):
+        if (model_parallel and model_size > 1 and x.ndim >= 2
+                and x.shape[-1] % model_size == 0 and x.shape[-1] >= 64):
+            spec = P(*([None] * (x.ndim - 1)), "model")
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree.map(place, params)

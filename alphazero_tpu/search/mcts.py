@@ -15,7 +15,7 @@ Q tracking + per-player value vectors + universes magic seeds.
 from __future__ import annotations
 
 import functools
-from typing import Callable, NamedTuple, Tuple
+from typing import Any, Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,8 +25,11 @@ from alphazero_tpu.games.base import GameSpec
 from alphazero_tpu.search.tree import (
     FORCED_K, Tree, empty_tree, expand_and_backup, init_root, select_leaf)
 
-# eval_fn(obs (B,...), valids (B,A)) -> (prior (B,A) normalized, value (B,P))
-EvalFn = Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]
+# eval_fn(eval_args, obs (B,...), valids (B,A)) -> (prior (B,A) normalized,
+# value (B,P)).  eval_args is an arbitrary traced pytree (params, or
+# (params_a, params_b, lane_mask) for arena play) so callers can jit whole
+# loops around mcts_search without capturing tracers in static closures.
+EvalFn = Callable[[Any, jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]
 
 
 class MCTSOutput(NamedTuple):
@@ -60,14 +63,12 @@ def add_dirichlet(key, prior, valids, alpha: float):
     return jnp.where(valids, 0.75 * prior + 0.25 * noise, prior)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("spec", "eval_fn", "cfg", "num_sims_max", "use_noise"))
-def run_mcts(spec: GameSpec, eval_fn: EvalFn, root_states: jax.Array,
-             key: jax.Array, budgets: jax.Array, noise_mask: jax.Array,
-             forced_mask: jax.Array, *, cfg: MCTSConfig, num_sims_max: int,
-             use_noise: bool = True) -> MCTSOutput:
-    """Run MCTS from B root states.
+def mcts_search(spec: GameSpec, eval_fn: EvalFn, eval_args,
+                root_states: jax.Array, key: jax.Array, budgets: jax.Array,
+                noise_mask: jax.Array, forced_mask: jax.Array, *,
+                cfg: MCTSConfig, num_sims_max: int,
+                use_noise: bool = True) -> MCTSOutput:
+    """Run MCTS from B root states (pure; callers may jit around it).
 
     budgets:     (B,) int32 — per-lane simulation budgets (<= num_sims_max);
                  playout-cap randomization runs full/fast lanes in one scan.
@@ -81,7 +82,8 @@ def run_mcts(spec: GameSpec, eval_fn: EvalFn, root_states: jax.Array,
 
     # --- root expansion (simulation 0, reference MCTS.py:140-154) ----------
     root_valids = jax.vmap(spec.valids)(root_states)
-    prior0, v0 = eval_fn(jax.vmap(spec.observe)(root_states), root_valids)
+    prior0, v0 = eval_fn(eval_args, jax.vmap(spec.observe)(root_states),
+                         root_valids)
     if use_noise:
         p = _power_temp(prior0, cfg.temp_soft)
         p = add_dirichlet(jax.random.fold_in(key, 0), p, root_valids,
@@ -118,7 +120,7 @@ def run_mcts(spec: GameSpec, eval_fn: EvalFn, root_states: jax.Array,
         child_valids = jax.vmap(spec.valids)(child_state)
         child_term = jax.vmap(spec.terminal)(child_state)
         child_prior, child_value = eval_fn(
-            jax.vmap(spec.observe)(child_state), child_valids)
+            eval_args, jax.vmap(spec.observe)(child_state), child_valids)
 
         trees = jax.vmap(expand_and_backup)(
             trees, parent, action, existing, child_state, child_swap,
@@ -147,6 +149,19 @@ def run_mcts(spec: GameSpec, eval_fn: EvalFn, root_states: jax.Array,
 
     return MCTSOutput(counts=counts, q=q, root_valids=root_valids,
                       root_prior=root_prior, tree_nodes=trees.next_free)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "eval_fn", "cfg", "num_sims_max", "use_noise"))
+def run_mcts(spec: GameSpec, eval_fn, root_states, key, budgets, noise_mask,
+             forced_mask, *, cfg: MCTSConfig, num_sims_max: int,
+             use_noise: bool = True, eval_args=None) -> MCTSOutput:
+    """Jitted convenience wrapper around mcts_search for standalone use;
+    eval_fn here takes (eval_args, obs, valids) with eval_args traced."""
+    return mcts_search(spec, eval_fn, eval_args, root_states, key, budgets,
+                       noise_mask, forced_mask, cfg=cfg,
+                       num_sims_max=num_sims_max, use_noise=use_noise)
 
 
 # ---------------------------------------------------------------------------

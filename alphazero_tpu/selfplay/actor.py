@@ -1,0 +1,156 @@
+"""Vectorized self-play actor.
+
+TPU-native replacement for the reference's thread-per-episode self-play with
+lock-chain inference batching (/root/reference/Coach.py:37-148): B games step
+in lockstep inside one jitted lax.scan over move slots, with auto-reset when
+games finish and an on-device reverse scan that backfills final returns into
+every example of the finished episode (the reference does this on the host at
+episode end, Coach.py:75-84).
+
+Preserved semantics:
+- playout-cap randomization: per-lane full/fast search budgets; only
+  full-search moves yield training examples (Coach.py:65-69, MCTS.py:58-59)
+- per-move temperature schedule temp_for_selfplay (Coach.py:266-271)
+- example tuple (canonical state, pruned-visit policy, rolled final result,
+  valid mask, root Q vector) (Coach.py:76-84); symmetry expansion happens at
+  training time instead of collection time (same distribution, 8x less
+  replay memory)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from alphazero_tpu.config import MCTSConfig, SelfPlayConfig
+from alphazero_tpu.games.base import GameSpec
+from alphazero_tpu.search.mcts import mcts_search, sample_action
+
+
+@struct.dataclass
+class SelfPlayBatch:
+    """(T, B, ...) example arrays.  weight==0 marks unusable slots (fast
+    searches or episodes still unfinished at scan end)."""
+    state: jax.Array    # (T, B, *state_shape) int8 — canonical
+    pi: jax.Array       # (T, B, A) float32 — normalized pruned visit policy
+    z: jax.Array        # (T, B, P) float32 — final result, example frame
+    q: jax.Array        # (T, B, P) float32 — root MCTS Q, example frame
+    valids: jax.Array   # (T, B, A) bool
+    weight: jax.Array   # (T, B) float32
+
+
+class SelfPlayStats(NamedTuple):
+    episodes_done: jax.Array     # () int32
+    examples: jax.Array          # () int32 — weight > 0 slots
+    moves: jax.Array             # () int32 — T*B
+    sims: jax.Array              # () int64-ish float — total search sims
+    avg_game_length: jax.Array   # () float32
+
+
+def _net_eval(net):
+    def eval_fn(params, obs, valids):
+        log_pi, v = net.apply(params, obs, valids)
+        return jnp.exp(log_pi), v
+    return eval_fn
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "net", "mc", "sp", "num_moves",
+                                    "batch_size"))
+def run_selfplay(spec: GameSpec, net, params, key, *, mc: MCTSConfig,
+                 sp: SelfPlayConfig, num_moves: int, batch_size: int
+                 ) -> Tuple[SelfPlayBatch, SelfPlayStats]:
+    """Play `batch_size` games in lockstep for `num_moves` plies (auto-reset),
+    returning training examples with returns backfilled."""
+    B = batch_size
+    P = spec.num_players
+    n_fast = max(1, mc.num_sims // mc.ratio_full)
+    eval_fn = _net_eval(net)
+    use_noise = mc.dirichlet_alpha != 0
+
+    k_init, k_scan = jax.random.split(key)
+    states0 = jax.vmap(spec.init)(jax.random.split(k_init, B))
+
+    def one_move(carry, t):
+        states, ep_step, cur_player = carry
+        kt = jax.random.fold_in(k_scan, t)
+        k_full, k_mcts, k_act, k_step, k_reset = jax.random.split(kt, 5)
+
+        # playout-cap randomization (reference MCTS.py:58-59)
+        full = jax.random.uniform(k_full, (B,)) < mc.prob_full
+        budgets = jnp.where(full, mc.num_sims, n_fast).astype(jnp.int32)
+        noise_mask = full if use_noise else jnp.zeros((B,), bool)
+        forced_mask = full & mc.forced_playouts
+
+        out = mcts_search(spec, eval_fn, params, states, k_mcts, budgets,
+                          noise_mask, forced_mask, cfg=mc,
+                          num_sims_max=mc.num_sims, use_noise=use_noise)
+
+        # temperature decay by episode step (episodeStep starts at 1,
+        # Coach.py:59-63)
+        t0, t1, hl = sp.temp_begin, sp.temp_end, sp.temp_half_life
+        n = (ep_step + 1).astype(jnp.float32)
+        if hl < 0:
+            temp = jnp.where(n > -hl, t1, t0)
+        else:
+            temp = t1 + (t0 - t1) * 0.5 ** (n / hl)
+        action = sample_action(k_act, out.counts, temp[:, None])
+
+        counts_sum = jnp.maximum(out.counts.sum(-1, keepdims=True), 1e-30)
+        pi = out.counts / counts_sum
+
+        step_keys = jax.random.split(k_step, B)
+        seeds = jnp.zeros((B,), jnp.int32)  # real moves use true randomness
+        next_states, swap = jax.vmap(spec.step_canonical)(
+            states, action, step_keys, seeds)
+        term = jax.vmap(spec.terminal)(next_states)       # canonical frame
+        done = jnp.any(term != 0, axis=-1)
+        next_player = (cur_player + swap) % P
+        # absolute-frame result: canonical index 0 = next_player
+        result_abs = jax.vmap(jnp.roll)(term, next_player)
+
+        # auto-reset finished games
+        fresh = jax.vmap(spec.init)(jax.random.split(k_reset, B))
+        done_b = done.reshape((B,) + (1,) * (states.ndim - 1))
+        new_states = jnp.where(done_b, fresh, next_states)
+        new_ep_step = jnp.where(done, 0, ep_step + 1)
+        new_player = jnp.where(done, 0, next_player)
+
+        rec = dict(state=states, pi=pi, valids=out.root_valids, q=out.q,
+                   player=cur_player, full=full, done=done,
+                   result_abs=result_abs,
+                   sims=jnp.sum(budgets))
+        return (new_states, new_ep_step, new_player), rec
+
+    carry0 = (states0, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32))
+    _, recs = jax.lax.scan(one_move, carry0,
+                           jnp.arange(num_moves, dtype=jnp.int32))
+
+    # --- reverse scan: backfill final results into episode examples ---------
+    def backfill(carry, rec):
+        pending, have = carry
+        pending = jnp.where(rec["done"][:, None], rec["result_abs"], pending)
+        have = have | rec["done"]
+        # example frame: roll absolute result by -player (Coach.py:79)
+        z = jax.vmap(jnp.roll)(pending, -rec["player"])
+        w = (have & rec["full"]).astype(jnp.float32)
+        return (pending, have), (z, w)
+
+    carry0 = (jnp.zeros((B, P), jnp.float32), jnp.zeros((B,), bool))
+    _, (z, weight) = jax.lax.scan(backfill, carry0, recs, reverse=True)
+
+    batch = SelfPlayBatch(state=recs["state"], pi=recs["pi"], z=z,
+                          q=recs["q"], valids=recs["valids"], weight=weight)
+    stats = SelfPlayStats(
+        episodes_done=jnp.sum(recs["done"].astype(jnp.int32)),
+        examples=jnp.sum((weight > 0).astype(jnp.int32)),
+        moves=jnp.int32(num_moves * B),
+        sims=jnp.sum(recs["sims"]),
+        avg_game_length=(num_moves * B) /
+        jnp.maximum(jnp.sum(recs["done"].astype(jnp.float32)), 1.0),
+    )
+    return batch, stats

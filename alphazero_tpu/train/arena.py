@@ -1,0 +1,178 @@
+"""Arena: vmapped head-to-head match runner.
+
+Reference behavior (/root/reference/Arena.py:35-140): K games between two
+players with alternating seating, per-move validity assert, final result from
+absolute player 0's perspective; the gate accepts the new net at >= 60 %
+(Coach.py:200-215).  Here all K games run in lockstep inside one jit: per
+move, a single batched MCTS runs for all games, and the evaluator picks each
+lane's parameters by whose turn it is (both nets are evaluated and selected
+per lane — 2x NN FLOPs, one compiled program, no host round-trips).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from alphazero_tpu.config import MCTSConfig
+from alphazero_tpu.games.base import GameSpec
+from alphazero_tpu.search.mcts import argmax_action, mcts_search, temp_for_game
+
+
+class ArenaResult(NamedTuple):
+    one_wins: jax.Array    # () int32 — player-A wins
+    two_wins: jax.Array    # () int32 — player-B wins
+    draws: jax.Array       # () int32
+    unfinished: jax.Array  # () int32 — games truncated at move cap
+
+
+def _paired_eval(net):
+    def eval_fn(args, obs, valids):
+        pa, pb, use_a = args             # use_a: (B,) bool, per lane
+        log_a, va = net.apply(pa, obs, valids)
+        log_b, vb = net.apply(pb, obs, valids)
+        m = use_a[:, None]
+        return (jnp.exp(jnp.where(m, log_a, log_b)),
+                jnp.where(m, va, vb))
+    return eval_fn
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "net", "cfg",
+                                             "num_games", "temp_half_life"))
+def play_matches(spec: GameSpec, net, params_a, params_b, key, *,
+                 cfg: MCTSConfig, num_games: int,
+                 temp_half_life: int = 10) -> ArenaResult:
+    """num_games lanes; lane i seats A as (absolute) player i%2 — the
+    reference's 1-2-2-1 alternation exists for tree-reuse fairness
+    (Arena.py:120-127), moot with fresh trees per move."""
+    B = num_games
+    P = spec.num_players
+    eval_fn = _paired_eval(net)
+
+    k_init, k_scan = jax.random.split(key)
+    states0 = jax.vmap(spec.init)(jax.random.split(k_init, B))
+    seat_a = jnp.arange(B, dtype=jnp.int32) % P   # absolute seat of player A
+
+    def one_move(carry, t):
+        states, cur_player, done, result = carry
+        kt = jax.random.fold_in(k_scan, t)
+        k_mcts, k_act, k_step = jax.random.split(kt, 3)
+
+        use_a = cur_player == seat_a
+        budgets = jnp.where(done, 1, cfg.num_sims).astype(jnp.int32)
+        out = mcts_search(spec, eval_fn, (params_a, params_b, use_a),
+                          states, k_mcts, budgets,
+                          noise_mask=jnp.zeros((B,), bool),
+                          forced_mask=jnp.full((B,), cfg.forced_playouts),
+                          cfg=cfg, num_sims_max=cfg.num_sims, use_noise=False)
+
+        temp = temp_for_game(temp_half_life, (t + 1).astype(jnp.float32))
+        action = argmax_action(k_act, out.counts, temp)
+
+        step_keys = jax.random.split(k_step, B)
+        next_states, swap = jax.vmap(spec.step_canonical)(
+            states, action, step_keys, jnp.zeros((B,), jnp.int32))
+        term = jax.vmap(spec.terminal)(next_states)
+        next_player = (cur_player + swap) % P
+        result_abs = jax.vmap(jnp.roll)(term, next_player)
+        new_done = jnp.any(term != 0, axis=-1)
+
+        # freeze finished lanes
+        keep = done.reshape((B,) + (1,) * (states.ndim - 1))
+        states = jnp.where(keep, states, next_states)
+        result = jnp.where(done[:, None], result, result_abs)
+        cur_player = jnp.where(done, cur_player, next_player)
+        done = done | new_done
+        return (states, cur_player, done, result), None
+
+    carry0 = (states0, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool),
+              jnp.zeros((B, P), jnp.float32))
+    (_, _, done, result), _ = jax.lax.scan(
+        one_move, carry0, jnp.arange(spec.max_game_length, dtype=jnp.int32))
+
+    # score from each player's seat (reference counts gameResult == +-1,
+    # Arena.py:128-133; draw codes like +-0.01 count as draws)
+    res_a = jnp.take_along_axis(result, seat_a[:, None], axis=1)[:, 0]
+    one_wins = jnp.sum((res_a > 0.5) & done)
+    two_wins = jnp.sum((res_a < -0.5) & done)
+    draws = jnp.sum((jnp.abs(res_a) <= 0.5) & done)
+    return ArenaResult(one_wins.astype(jnp.int32),
+                       two_wins.astype(jnp.int32),
+                       draws.astype(jnp.int32),
+                       jnp.sum(~done).astype(jnp.int32))
+
+
+def _mcts_vs_random_eval(net):
+    def eval_fn(args, obs, valids):
+        params, _ = args
+        log_p, v = net.apply(params, obs, valids)
+        return jnp.exp(log_p), v
+    return eval_fn
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "net", "cfg",
+                                             "num_games", "temp_half_life",
+                                             "mcts_seats_even"))
+def play_vs_random(spec: GameSpec, net, params, key, *, cfg: MCTSConfig,
+                   num_games: int, temp_half_life: int = 10,
+                   mcts_seats_even: bool = True) -> ArenaResult:
+    """MCTS player vs uniform-random baseline (the reference's RandomPlayer,
+    e.g. santorini/SantoriniPlayers.py).  Lane i seats the MCTS player at
+    absolute seat i%P.  Returns wins for (mcts, random)."""
+    B = num_games
+    P = spec.num_players
+    eval_fn = _mcts_vs_random_eval(net)
+
+    k_init, k_scan = jax.random.split(key)
+    states0 = jax.vmap(spec.init)(jax.random.split(k_init, B))
+    seat_m = jnp.arange(B, dtype=jnp.int32) % P
+
+    def one_move(carry, t):
+        states, cur_player, done, result = carry
+        kt = jax.random.fold_in(k_scan, t)
+        k_mcts, k_act, k_rnd, k_step = jax.random.split(kt, 4)
+
+        mcts_turn = cur_player == seat_m
+        budgets = jnp.where(done | ~mcts_turn, 1, cfg.num_sims).astype(jnp.int32)
+        out = mcts_search(spec, eval_fn, (params, None), states, k_mcts,
+                          budgets, noise_mask=jnp.zeros((B,), bool),
+                          forced_mask=jnp.full((B,), cfg.forced_playouts)
+                          & mcts_turn,
+                          cfg=cfg, num_sims_max=cfg.num_sims, use_noise=False)
+        temp = temp_for_game(temp_half_life, (t + 1).astype(jnp.float32))
+        a_mcts = argmax_action(k_act, out.counts, temp)
+        # random baseline: uniform over valid moves
+        logits = jnp.where(out.root_valids, 0.0, -jnp.inf)
+        a_rand = jax.random.categorical(k_rnd, logits, axis=-1)
+        action = jnp.where(mcts_turn, a_mcts, a_rand)
+
+        step_keys = jax.random.split(k_step, B)
+        next_states, swap = jax.vmap(spec.step_canonical)(
+            states, action, step_keys, jnp.zeros((B,), jnp.int32))
+        term = jax.vmap(spec.terminal)(next_states)
+        next_player = (cur_player + swap) % P
+        result_abs = jax.vmap(jnp.roll)(term, next_player)
+        new_done = jnp.any(term != 0, axis=-1)
+
+        keep = done.reshape((B,) + (1,) * (states.ndim - 1))
+        states = jnp.where(keep, states, next_states)
+        result = jnp.where(done[:, None], result, result_abs)
+        cur_player = jnp.where(done, cur_player, next_player)
+        done = done | new_done
+        return (states, cur_player, done, result), None
+
+    carry0 = (states0, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool),
+              jnp.zeros((B, P), jnp.float32))
+    (_, _, done, result), _ = jax.lax.scan(
+        one_move, carry0, jnp.arange(spec.max_game_length, dtype=jnp.int32))
+
+    res_m = jnp.take_along_axis(result, seat_m[:, None], axis=1)[:, 0]
+    one_wins = jnp.sum((res_m > 0.5) & done)
+    two_wins = jnp.sum((res_m < -0.5) & done)
+    draws = jnp.sum((jnp.abs(res_m) <= 0.5) & done)
+    return ArenaResult(one_wins.astype(jnp.int32), two_wins.astype(jnp.int32),
+                       draws.astype(jnp.int32),
+                       jnp.sum(~done).astype(jnp.int32))

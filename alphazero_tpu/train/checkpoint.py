@@ -1,0 +1,92 @@
+"""Checkpointing with embedded config + architecture transfer.
+
+Reference behavior preserved (/root/reference/GenericNNetWrapper.py:192-277,
+Coach.py:217-262, main.py:51-83):
+- every checkpoint embeds the full config (the reference stores all argparse
+  flags in the .pt dict)
+- best / temp / iter_NNNN naming
+- replay buffer persisted alongside
+- cross-architecture warm start: on parameter-tree mismatch, copy overlapping
+  slices by name with per-dimension cropping (knowledge transfer)
+- settings diff on resume (config.diff_configs)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+from alphazero_tpu.config import Config
+from alphazero_tpu.models import transfer_params
+
+
+def save_checkpoint(path: str, params, cfg: Config, *, opt_state=None,
+                    meta: Optional[dict] = None):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "params.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(params)))
+    if opt_state is not None:
+        with open(os.path.join(path, "opt_state.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(opt_state)))
+    with open(os.path.join(path, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta or {}, f, indent=2)
+
+
+def load_config(path: str) -> Config:
+    with open(os.path.join(path, "config.json")) as f:
+        return Config.from_json(f.read())
+
+
+def load_checkpoint(path: str, params_template) -> Tuple[Any, Config, dict,
+                                                         bool]:
+    """Load params into the given template.
+
+    Returns (params, embedded_config, meta, transferred) where transferred is
+    True when the stored tree did not match and knowledge transfer (shape-
+    cropped copy) was applied — the caller should then retrain from examples
+    before self-play, like the reference's requestKnowledgeTransfer
+    (GenericNNetWrapper.py:271-277, Coach.py:33,161).
+    """
+    cfg = load_config(path)
+    meta = {}
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    with open(os.path.join(path, "params.msgpack"), "rb") as f:
+        blob = f.read()
+    try:
+        params = serialization.from_bytes(params_template, blob)
+        # from_bytes restores without shape validation — verify leaf shapes
+        for a, b in zip(jax.tree.leaves(params_template),
+                        jax.tree.leaves(params)):
+            if a.shape != b.shape:
+                raise ValueError("shape mismatch")
+        return params, cfg, meta, False
+    except (ValueError, KeyError):
+        # architecture mismatch -> knowledge transfer by name + crop
+        raw = serialization.msgpack_restore(blob)
+        params, copied = transfer_params(raw, params_template)
+        return params, cfg, meta, True
+
+
+def load_opt_state(path: str, opt_state_template):
+    p = os.path.join(path, "opt_state.msgpack")
+    if not os.path.exists(p):
+        return None
+    with open(p, "rb") as f:
+        try:
+            return serialization.from_bytes(opt_state_template, f.read())
+        except (ValueError, KeyError):
+            return None
+
+
+def checkpoint_name(iteration: int) -> str:
+    return f"iter_{iteration:04d}"

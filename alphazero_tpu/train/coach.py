@@ -1,0 +1,187 @@
+"""Coach: the self-play -> train -> gate iteration loop.
+
+Reference: /root/reference/Coach.py:150-215 (learn), with the TPU-native
+substitutions from SURVEY.md §7: vectorized self-play scans instead of
+thread-per-episode, a device train_step loop instead of torch CPU epochs, a
+vmapped arena instead of serial games.  Gating semantics preserved: accept at
+winrate >= update_threshold, rollback to the pre-train params on reject, stop
+after N consecutive rejects (Coach.py:200-215).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alphazero_tpu.config import Config
+from alphazero_tpu.games import make_game
+from alphazero_tpu.models import init_params, make_net, param_count
+from alphazero_tpu.selfplay.actor import run_selfplay
+from alphazero_tpu.selfplay.replay import ReplayBuffer
+from alphazero_tpu.train.arena import play_matches
+from alphazero_tpu.train.checkpoint import (checkpoint_name, load_checkpoint,
+                                            save_checkpoint)
+from alphazero_tpu.train.learner import (TrainState, init_train_state,
+                                         train_step)
+
+log = logging.getLogger(__name__)
+
+
+class Coach:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.spec = make_game(cfg.game.name, **cfg.game.variant)
+        self.net = make_net(self.spec, cfg.net)
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self.np_rng = np.random.default_rng(cfg.seed)
+
+        self.key, k = jax.random.split(self.key)
+        params = init_params(self.net, self.spec, k)
+        steps_per_iter = self._train_steps_per_iter()
+        self.state = init_train_state(params, cfg.train, steps_per_iter)
+        self.prev_params = params  # competitor (reference pnet, Coach.py:29)
+        self.replay = ReplayBuffer(cfg.train.replay_capacity,
+                                   self.spec.state_shape,
+                                   self.spec.num_actions,
+                                   self.spec.num_players)
+        self.iteration = 0
+        self.consecutive_failures = 0
+        self.skip_first_selfplay = False
+        self.history = []  # per-iteration metric dicts
+        log.info("game=%s actions=%d params=%d", self.spec.name,
+                 self.spec.num_actions, param_count(params))
+
+    # ------------------------------------------------------------------
+
+    def _train_steps_per_iter(self) -> int:
+        t = self.cfg.train
+        batches = max(1, min(t.replay_capacity,
+                             t.games_per_iter * 40) // t.batch_size)
+        return t.epochs * batches
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    # ------------------------------------------------------------------
+
+    def self_play(self) -> dict:
+        """Run vectorized self-play scans until the game quota is met."""
+        cfg = self.cfg
+        B = cfg.selfplay.batch_size
+        num_moves = self.spec.max_game_length
+        episodes = 0
+        examples = 0
+        sims = 0
+        t0 = time.time()
+        while episodes < cfg.train.games_per_iter:
+            batch, stats = run_selfplay(
+                self.spec, self.net, self.state.params, self._next_key(),
+                mc=cfg.mcts, sp=cfg.selfplay, num_moves=num_moves,
+                batch_size=B)
+            examples += self.replay.add_batch(jax.device_get(batch))
+            episodes += int(stats.episodes_done)
+            sims += int(stats.sims)
+        dt = time.time() - t0
+        return dict(episodes=episodes, examples=examples, sims=sims,
+                    seconds=dt, sims_per_s=sims / max(dt, 1e-9),
+                    games_per_s=episodes / max(dt, 1e-9))
+
+    def train(self) -> dict:
+        cfg = self.cfg.train
+        total = self._train_steps_per_iter()
+        # fresh optimizer per iteration: the reference rebuilds AdamW+OneCycle
+        # on every nnet.train() call (GenericNNetWrapper.py:49-51)
+        self.state = init_train_state(self.state.params, cfg, total)
+        losses = []
+        for _ in range(total):
+            batch = {k: jnp.asarray(v) for k, v in
+                     self.replay.sample(self.np_rng, cfg.batch_size).items()}
+            self.state, m = train_step(
+                self.spec, self.net, cfg, total, self.state, batch,
+                self._next_key(), augment=cfg.symmetry_augment)
+            losses.append(m)
+        return dict(steps=total,
+                    loss=float(np.mean([float(m.loss) for m in losses])),
+                    loss_pi=float(np.mean([float(m.loss_pi) for m in losses])),
+                    loss_v=float(np.mean([float(m.loss_v) for m in losses])))
+
+    def gate(self) -> dict:
+        """Arena new-vs-previous; accept/rollback (Coach.py:200-215)."""
+        cfg = self.cfg
+        res = play_matches(self.spec, self.net, self.state.params,
+                           self.prev_params, self._next_key(),
+                           cfg=cfg.mcts, num_games=cfg.train.arena_games,
+                           temp_half_life=cfg.selfplay.temp_half_life)
+        nwins, pwins, draws = (int(res.one_wins), int(res.two_wins),
+                               int(res.draws))
+        decided = nwins + pwins
+        accepted = decided > 0 and nwins / decided >= cfg.train.update_threshold
+        if accepted:
+            self.prev_params = self.state.params
+            self.consecutive_failures = 0
+        else:
+            # rollback to pre-train params (reference reloads temp.pt)
+            self.state = self.state.replace(params=self.prev_params)
+            self.consecutive_failures += 1
+        return dict(nwins=nwins, pwins=pwins, draws=draws,
+                    unfinished=int(res.unfinished), accepted=accepted)
+
+    # ------------------------------------------------------------------
+
+    def run_iteration(self) -> dict:
+        self.iteration += 1
+        metrics = dict(iteration=self.iteration)
+        if not (self.skip_first_selfplay and self.iteration == 1):
+            metrics["selfplay"] = self.self_play()
+        metrics["train"] = self.train()
+        metrics["gate"] = self.gate()
+        g = metrics["gate"]
+        log.info("iter %d: new vs prev %d-%d (%d draws) -> %s",
+                 self.iteration, g["nwins"], g["pwins"], g["draws"],
+                 "ACCEPTED" if g["accepted"] else
+                 f"REJECTED ({self.consecutive_failures})")
+        if g["accepted"]:
+            self.save(checkpoint_name(self.iteration))
+            self.save("best")
+        self.history.append(metrics)
+        return metrics
+
+    def learn(self):
+        for _ in range(self.cfg.train.num_iters):
+            self.run_iteration()
+            if self.consecutive_failures >= self.cfg.train.stop_after_n_fail:
+                log.error("stopping after %d consecutive failed gates",
+                          self.consecutive_failures)
+                break
+        return self.history
+
+    # ------------------------------------------------------------------
+
+    def save(self, name: str):
+        path = os.path.join(self.cfg.checkpoint_dir, name)
+        save_checkpoint(path, self.state.params, self.cfg,
+                        opt_state=self.state.opt_state,
+                        meta=dict(iteration=self.iteration))
+        if name == "best":
+            self.replay.save(os.path.join(self.cfg.checkpoint_dir,
+                                          "replay.npz"))
+
+    def load(self, path: str):
+        params, cfg_in_ckpt, meta, transferred = load_checkpoint(
+            path, self.state.params)
+        self.state = self.state.replace(params=params)
+        self.prev_params = params
+        self.iteration = int(meta.get("iteration", 0))
+        self.skip_first_selfplay = transferred
+        replay_path = os.path.join(os.path.dirname(path.rstrip("/")),
+                                   "replay.npz")
+        if os.path.exists(replay_path):
+            self.replay.load(replay_path)
+        return cfg_in_ckpt, transferred

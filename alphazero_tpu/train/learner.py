@@ -1,0 +1,115 @@
+"""Learner: losses, optimizer, jitted train step.
+
+Reference semantics (/root/reference/GenericNNetWrapper.py:44-92,179-190):
+- AdamW + OneCycle LR over epochs*batches
+- policy loss: KLDiv(batchmean) of MCTS visit policy vs masked log-softmax
+- value loss: MSE against (Z + q_weight*Q)/(1+q_weight), normalized by
+  batch*num_players, weighted 0.25 in the total
+TPU-first: one jitted train_step; optional per-sample random symmetry
+augmentation on device (the reference instead stores all 8 symmetric copies
+in the replay buffer, Coach.py:65-69 — same training distribution).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from alphazero_tpu.config import TrainConfig
+from alphazero_tpu.games.base import GameSpec
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+class TrainMetrics(NamedTuple):
+    loss: jax.Array
+    loss_pi: jax.Array
+    loss_v: jax.Array
+    lr: jax.Array
+
+
+def make_lr_schedule(cfg: TrainConfig, total_steps: int):
+    """OneCycle (torch defaults: pct_start .3, div 25, final_div 1e4 —
+    matches optax.cosine_onecycle_schedule)."""
+    return optax.cosine_onecycle_schedule(
+        transition_steps=max(total_steps, 1), peak_value=cfg.learn_rate,
+        pct_start=0.3, div_factor=25.0, final_div_factor=1e4)
+
+
+def make_optimizer(cfg: TrainConfig, total_steps: int):
+    sched = make_lr_schedule(cfg, total_steps)
+    return optax.adamw(learning_rate=sched), sched
+
+
+def init_train_state(params, cfg: TrainConfig, total_steps: int) -> TrainState:
+    opt, _ = make_optimizer(cfg, total_steps)
+    return TrainState(params=params, opt_state=opt.init(params),
+                      step=jnp.int32(0))
+
+
+def loss_pi(target_pi, log_pi):
+    """KLDivLoss(batchmean): sum(p * (log p - log q)) / B, with 0*log0 = 0."""
+    logp_t = jnp.where(target_pi > 0, jnp.log(jnp.maximum(target_pi, 1e-30)),
+                       0.0)
+    kl = jnp.sum(target_pi * (logp_t - log_pi), axis=-1)
+    return jnp.mean(kl)
+
+
+def loss_v(target_z, target_q, v, q_weight: float):
+    tgt = (target_z + q_weight * target_q) / (1.0 + q_weight)
+    return jnp.sum((tgt - v) ** 2) / (v.shape[0] * v.shape[-1])
+
+
+def _augment(spec: GameSpec, key, state, pi, valids):
+    """Random symmetry per sample, on device."""
+    st, pis, vas = jax.vmap(spec.symmetries)(state, pi, valids)
+    idx = jax.random.randint(key, (state.shape[0],), 0, spec.num_symmetries)
+    b = jnp.arange(state.shape[0])
+    return st[b, idx], pis[b, idx], vas[b, idx]
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "net", "cfg",
+                                             "total_steps", "augment"))
+def train_step(spec: GameSpec, net, cfg: TrainConfig, total_steps: int,
+               state: TrainState, batch, key, augment: bool = True
+               ) -> Tuple[TrainState, TrainMetrics]:
+    opt, sched = make_optimizer(cfg, total_steps)
+
+    st, pi_t, valids = batch["state"], batch["pi"], batch["valids"]
+    if augment and spec.symmetries is not None:
+        st, pi_t, valids = _augment(spec, key, st, pi_t, valids)
+    obs = jax.vmap(spec.observe)(st)
+
+    def loss_fn(params):
+        log_pi, v = net.apply(params, obs, valids)
+        l_pi = loss_pi(pi_t, log_pi)
+        l_v = loss_v(batch["z"], batch["q"], v, cfg.q_weight)
+        return l_pi + cfg.value_loss_weight * l_v, (l_pi, l_v)
+
+    (loss, (l_pi, l_v)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = TrainState(params=params, opt_state=opt_state,
+                           step=state.step + 1)
+    return new_state, TrainMetrics(loss=loss, loss_pi=l_pi, loss_v=l_v,
+                                   lr=sched(state.step))
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "net", "q_weight"))
+def evaluate_loss(spec: GameSpec, net, params, batch, q_weight: float = 0.5):
+    """Validation loss (reference GenericNNetWrapper.evaluate, :159-177)."""
+    obs = jax.vmap(spec.observe)(batch["state"])
+    log_pi, v = net.apply(params, obs, batch["valids"])
+    return (loss_pi(batch["pi"], log_pi)
+            + loss_v(batch["z"], batch["q"], v, q_weight))

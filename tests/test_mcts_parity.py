@@ -56,8 +56,8 @@ def fake_eval_np(board, valids):
     return pi, np.array([v0, -v0], np.float32)
 
 
-def fake_eval_jax(obs, valids):
-    # identical arithmetic to fake_eval_np, batched
+def fake_eval_jax(_args, obs, valids):
+    # identical arithmetic to fake_eval_np, batched (eval_args unused)
     k = jnp.sum(valids, axis=-1).astype(jnp.float32)
     pi = valids.astype(jnp.float32) / k[:, None]
     b = obs.astype(jnp.int32)

@@ -1,0 +1,109 @@
+"""Self-play actor invariants: example validity, return backfill, PCR."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from alphazero_tpu.config import MCTSConfig, NetConfig, SelfPlayConfig
+from alphazero_tpu.games import make_game
+from alphazero_tpu.models import init_params, make_net
+from alphazero_tpu.selfplay.actor import run_selfplay
+from alphazero_tpu.selfplay.replay import ReplayBuffer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    spec = make_game("santorini", nb_gods=1, init_method=1)
+    net = make_net(spec, NetConfig(version=1, channels=16, depth=1))
+    params = init_params(net, spec, jax.random.PRNGKey(0))
+    return spec, net, params
+
+
+@pytest.fixture(scope="module")
+def rollout(setup):
+    spec, net, params = setup
+    mc = MCTSConfig(num_sims=16, ratio_full=4, prob_full=0.5,
+                    forced_playouts=True)
+    sp = SelfPlayConfig(batch_size=8)
+    batch, stats = run_selfplay(spec, net, params, jax.random.PRNGKey(1),
+                                mc=mc, sp=sp, num_moves=96, batch_size=8)
+    return spec, jax.device_get(batch), stats
+
+
+def test_shapes_and_counts(rollout):
+    spec, batch, stats = rollout
+    T, B = batch.weight.shape
+    assert batch.state.shape == (T, B, *spec.state_shape)
+    assert batch.pi.shape == (T, B, spec.num_actions)
+    assert int(stats.episodes_done) > 0
+    assert int(stats.examples) == int((batch.weight > 0).sum())
+    assert int(stats.examples) > 0
+
+
+def test_policy_targets_valid(rollout):
+    spec, batch, _ = rollout
+    w = batch.weight > 0
+    pi = np.asarray(batch.pi)[w]
+    valids = np.asarray(batch.valids)[w]
+    np.testing.assert_allclose(pi.sum(-1), 1.0, atol=1e-5)
+    assert (pi[~valids] == 0).all()
+
+
+def test_returns_are_win_loss_pairs(rollout):
+    """No-gods Santorini has no draws: every completed episode's example z
+    must be a (+1, -1) permutation, and q must be (q0, -q0)."""
+    spec, batch, _ = rollout
+    w = batch.weight > 0
+    z = np.asarray(batch.z)[w]
+    assert z.shape[0] > 0
+    np.testing.assert_allclose(np.sort(np.abs(z), axis=-1),
+                               np.ones_like(z), atol=1e-6)
+    np.testing.assert_allclose(z.sum(-1), 0.0, atol=1e-6)
+    q = np.asarray(batch.q)[w]
+    np.testing.assert_allclose(q[:, 0], -q[:, 1], atol=1e-6)
+    assert (np.abs(q) <= 1.0 + 1e-5).all()
+
+
+def test_unfinished_tail_has_zero_weight(setup):
+    """With a tiny move budget no episode completes -> no usable examples."""
+    spec, net, params = setup
+    mc = MCTSConfig(num_sims=8, ratio_full=4, prob_full=1.0)
+    sp = SelfPlayConfig(batch_size=4)
+    batch, stats = run_selfplay(spec, net, params, jax.random.PRNGKey(2),
+                                mc=mc, sp=sp, num_moves=3, batch_size=4)
+    assert int(stats.episodes_done) == 0
+    assert float(np.asarray(batch.weight).sum()) == 0.0
+
+
+def test_replay_roundtrip(rollout, tmp_path):
+    spec, batch, stats = rollout
+    buf = ReplayBuffer(1000, spec.state_shape, spec.num_actions,
+                       spec.num_players)
+    n = buf.add_batch(batch)
+    assert n == int(stats.examples)
+    s = buf.sample(np.random.default_rng(0), 32)
+    assert s["state"].shape == (32, *spec.state_shape)
+    assert s["pi"].dtype == np.float32
+
+    p = str(tmp_path / "replay.npz")
+    buf.save(p)
+    buf2 = ReplayBuffer(1000, spec.state_shape, spec.num_actions,
+                        spec.num_players)
+    buf2.load(p)
+    assert buf2.size == buf.size
+    np.testing.assert_array_equal(buf2.state[:buf.size],
+                                  buf.state[:buf.size])
+
+
+def test_ring_overwrite():
+    buf = ReplayBuffer(10, (2,), 3, 2)
+    for i in range(4):
+        st = np.full((4, 2), i, np.int8)
+        buf._insert(st, np.zeros((4, 3)), np.zeros((4, 2)),
+                    np.zeros((4, 2)), np.zeros((4, 3), bool))
+    assert buf.size == 10
+    assert buf.total_added == 16
+    # oldest entries overwritten
+    vals = sorted(set(buf.state[:, 0].tolist()))
+    assert 0 not in vals or len(vals) <= 3
