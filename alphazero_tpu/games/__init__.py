@@ -10,9 +10,11 @@ from typing import Callable, Dict
 
 from alphazero_tpu.games.base import GameSpec, roll_returns
 from alphazero_tpu.games.santorini import make_santorini
+from alphazero_tpu.games.splendor import make_splendor
 
 GAME_REGISTRY: Dict[str, Callable[..., GameSpec]] = {
     "santorini": make_santorini,
+    "splendor": make_splendor,
 }
 
 

@@ -177,6 +177,7 @@ def make_santorini(num_players: int = 2, nb_gods: int = 1,
 
     def step(state, action, key, seed):
         del key, seed  # no chance nodes in no-gods Santorini moves
+        action = jnp.asarray(action, jnp.int32)
         workers, levels, gods = _planes(state)
         rest = action % (nb_gods * 81)
         w = action // (nb_gods * 81)

@@ -69,6 +69,44 @@ def install_numba_stub():
     sys.modules["numba.experimental"] = experimental
 
 
+def install_colorama_stub():
+    if "colorama" in sys.modules:
+        return
+
+    class _Style:
+        def __getattr__(self, name):
+            return ""
+
+    col = types.ModuleType("colorama")
+    col.Style = _Style()
+    col.Fore = _Style()
+    col.Back = _Style()
+    sys.modules["colorama"] = col
+
+
+def import_reference_splendor(num_players: int = 2):
+    """Import the reference Splendor logic (pure Python via stubs)."""
+    install_numba_stub()
+    install_colorama_stub()
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    for mod in list(sys.modules):
+        if mod.startswith("splendor"):
+            del sys.modules[mod]
+    import splendor.SplendorLogicNumba as L
+
+    # numba silently wraps uint8 -> int8 on assignment; pure numpy raises
+    # OverflowError, so emulate the wrap in the stubbed module
+    _orig_packbits = L.my_packbits
+
+    def _packbits_wrap(array):
+        v = int(_orig_packbits(array)) & 0xFF
+        return np.int8(v - 256 if v > 127 else v)
+
+    L.my_packbits = _packbits_wrap
+    return L
+
+
 def import_reference_santorini(nb_gods: int = 1, init_method: int = 0):
     """Import the reference Santorini logic with patched variant constants.
 
