@@ -11,10 +11,12 @@ from typing import Callable, Dict
 from alphazero_tpu.games.base import GameSpec, roll_returns
 from alphazero_tpu.games.santorini import make_santorini
 from alphazero_tpu.games.splendor import make_splendor
+from alphazero_tpu.games.azul import make_azul
 
 GAME_REGISTRY: Dict[str, Callable[..., GameSpec]] = {
     "santorini": make_santorini,
     "splendor": make_splendor,
+    "azul": make_azul,
 }
 
 

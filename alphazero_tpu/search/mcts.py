@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from alphazero_tpu.config import MCTSConfig, MAGIC_SEEDS
 from alphazero_tpu.games.base import GameSpec
 from alphazero_tpu.search.tree import (
-    FORCED_K, Tree, empty_tree, expand_and_backup, init_root, select_leaf)
+    FORCED_K, Tree, backup_path, empty_tree, expand_node, init_root,
+    select_leaf_path)
 
 # eval_fn(eval_args, obs (B,...), valids (B,A)) -> (prior (B,A) normalized,
 # value (B,P)).  eval_args is an arbitrary traced pytree (params, or
@@ -109,8 +110,9 @@ def mcts_search(spec: GameSpec, eval_fn: EvalFn, eval_args,
             seed = jnp.int32(-1)
         seeds = jnp.full((B,), seed, jnp.int32)
 
-        parent, action, existing = jax.vmap(
-            lambda t, f: select_leaf(t, cfg.cpuct, cfg.fpu, f, sim_idx)
+        parent, action, existing, p_nodes, p_acts, depth = jax.vmap(
+            lambda t, f: select_leaf_path(t, cfg.cpuct, cfg.fpu, f, sim_idx,
+                                          max_depth=num_sims_max + 1)
         )(trees, forced_mask)
 
         parent_states = trees.states[jnp.arange(B), parent]
@@ -122,9 +124,11 @@ def mcts_search(spec: GameSpec, eval_fn: EvalFn, eval_args,
         child_prior, child_value = eval_fn(
             eval_args, jax.vmap(spec.observe)(child_state), child_valids)
 
-        trees = jax.vmap(expand_and_backup)(
+        trees, leaf, v_leaf = jax.vmap(expand_node)(
             trees, parent, action, existing, child_state, child_swap,
             child_valids, child_prior, child_value, child_term, active)
+        trees = jax.vmap(backup_path)(trees, p_nodes, p_acts, depth, leaf,
+                                      v_leaf, active)
         return trees, None
 
     trees, _ = jax.lax.scan(one_sim, trees,

@@ -125,47 +125,64 @@ def select_leaf(tree: Tree, cpuct: float, fpu: float, allow_forced,
     Returns (parent, action, existing_child) where existing_child >= 0 iff
     the walk stopped at an already-expanded terminal child (no new node).
     """
+    parent, action, existing, _, _, _ = select_leaf_path(
+        tree, cpuct, fpu, allow_forced, sim_idx, max_depth=1)
+    return parent, action, existing
+
+
+def select_leaf_path(tree: Tree, cpuct: float, fpu: float, allow_forced,
+                     sim_idx, max_depth: int):
+    """select_leaf that also records the root-to-leaf path.
+
+    Returns (parent, action, existing_child, path_nodes (D,), path_actions
+    (D,), depth).  path_nodes[d] / path_actions[d] describe edge d; depth is
+    the number of edges.  The loop carry holds only scalars and the two (D,)
+    buffers, so the batched (vmapped) while_loop's per-iteration select cost
+    is O(B*D) — NOT O(B*N*A) as it would be if the visit-count arrays were
+    carried (that was measured to dominate self-play wall time).
+    """
+    D = max_depth
 
     def pick(node):
         return puct_action(tree, node, cpuct, fpu,
                            allow_forced & (node == 0), sim_idx)
 
     def cond_fn(c):
-        _, _, ch = c
+        _, _, ch, _, _, _ = c
         return (ch >= 0) & ~tree.is_term[jnp.maximum(ch, 0)]
 
     def body_fn(c):
-        _, _, ch = c
+        _, _, ch, depth, nodes, acts = c
         cur = ch
         a = pick(cur)
-        return cur, a, tree.children[cur, a]
+        nodes = nodes.at[jnp.minimum(depth, D - 1)].set(cur)
+        acts = acts.at[jnp.minimum(depth, D - 1)].set(a)
+        return cur, a, tree.children[cur, a], depth + 1, nodes, acts
 
     a0 = pick(jnp.int32(0))
-    cur, a, ch = jax.lax.while_loop(
-        cond_fn, body_fn, (jnp.int32(0), a0, tree.children[0, a0]))
-    return cur, a, ch
+    nodes0 = jnp.zeros((D,), jnp.int32)
+    acts0 = jnp.zeros((D,), jnp.int32).at[0].set(a0)
+    cur, a, ch, depth, nodes, acts = jax.lax.while_loop(
+        cond_fn, body_fn,
+        (jnp.int32(0), a0, tree.children[0, a0], jnp.int32(1), nodes0, acts0))
+    return cur, a, ch, nodes, acts, depth
 
 
-def expand_and_backup(tree: Tree, parent, action, existing_child,
-                      child_state, child_swap, child_valids, child_prior,
-                      child_value, child_term, active) -> Tree:
-    """Expand one leaf (if new) and back the value up to the root.
+def expand_node(tree: Tree, parent, action, existing_child, child_state,
+                child_swap, child_valids, child_prior, child_value,
+                child_term, active) -> Tuple[Tree, jax.Array, jax.Array]:
+    """Install a new leaf node if the selected edge was unexpanded.
 
-    Reference semantics: expansion is MCTS.py:140-154 (store Ps/Vs, return v),
-    terminal hits return Es without touching the terminal node (MCTS.py:130-138),
-    and the backup recurrence is MCTS.py:175-183:
-        v_parent = np.roll(v_child, swap)
-        Qsa[a]   = (Nsa*Qsa + v0) / (Nsa+1)
-        Qs       = ((Ns+1)*Qs + v0) / (Ns+2)
-        Nsa += 1 ; Ns += 1
-    ``active`` masks the whole simulation off (per-lane playout-cap budgets).
+    Returns (tree, leaf_node, v_leaf) where v_leaf is the value vector to
+    back up, in the leaf's own canonical frame (the NN value for new interior
+    leaves, the stored/new terminal vector for terminal leaves — reference
+    MCTS.py:130-154).
     """
     is_new = existing_child < 0
     child_is_term = jnp.any(child_term != 0)
     new_idx = tree.next_free
-    start = jnp.where(is_new, new_idx, existing_child)
+    leaf = jnp.where(is_new, new_idx, existing_child)
 
-    # value to propagate, in the leaf's own frame
     stored_term = tree.term_val[jnp.maximum(existing_child, 0)]
     v_leaf = jnp.where(is_new,
                        jnp.where(child_is_term, child_term, child_value),
@@ -191,30 +208,53 @@ def expand_and_backup(tree: Tree, parent, action, existing_child,
             jnp.where(wmask, new_idx, tree.children[parent, action])),
         next_free=tree.next_free + jnp.where(wmask, 1, 0),
     )
+    return tree, leaf, v_leaf
 
-    # --- backup -------------------------------------------------------------
+
+def backup_path(tree: Tree, path_nodes, path_actions, depth, leaf,
+                v_leaf, active) -> Tree:
+    """Back a leaf value up the recorded path with ONE batched gather/scatter
+    round — no loop.
+
+    Reference recurrence (MCTS.py:175-183):
+        v_parent = np.roll(v_child, swap_child)
+        Qsa[a]   = (Nsa*Qsa + v0) / (Nsa+1)
+        Qs       = ((Ns+1)*Qs + v0) / (Ns+2)
+        Nsa += 1 ; Ns += 1
+    Path nodes are distinct (it's a tree), so all updates are conflict-free
+    and can be applied in one scatter per array.  Rolls compose (roll(roll(v,
+    a), b) == roll(v, a+b)), so the value seen at edge d is
+    v_leaf[(-S_d) mod P] with S_d the suffix-sum of child swaps.
+    Inactive/overflow edges are routed out of bounds and dropped.
+    """
     qdt = tree.qs.dtype
-    v0 = v_leaf.astype(qdt)
-    n0 = jnp.where(active, start, 0)  # inactive lanes skip the walk
+    P = v_leaf.shape[0]
+    D = path_nodes.shape[0]
+    d_idx = jnp.arange(D)
+    valid_edge = (d_idx < depth) & active
 
-    def bcond(c):
-        n, *_ = c
-        return n != 0
+    # child of edge d: next path node, except the leaf for the last edge
+    child_nodes = jnp.where(d_idx < depth - 1,
+                            jnp.roll(path_nodes, -1), leaf)
+    sw = jnp.where(valid_edge, tree.swap[child_nodes], 0)
+    suffix = jnp.cumsum(sw[::-1])[::-1]                     # S_d
+    v0 = v_leaf.astype(qdt)[(-suffix) % P]                  # (D,)
 
-    def bbody(c):
-        n, v, qsa, nsa, ns, qs = c
-        p = tree.parent[n]
-        a = tree.parent_action[n]
-        v = jnp.roll(v, tree.swap[n])
-        n_old = nsa[p, a]
-        qsa = qsa.at[p, a].set((n_old.astype(qdt) * qsa[p, a] + v[0])
-                               / (n_old + 1).astype(qdt))
-        ns_old = ns[p].astype(qdt)
-        qs = qs.at[p].set(((ns_old + 1) * qs[p] + v[0]) / (ns_old + 2))
-        nsa = nsa.at[p, a].add(1)
-        ns = ns.at[p].add(1)
-        return p, v, qsa, nsa, ns, qs
+    # out-of-bounds => dropped by scatter mode below
+    N = tree.n_visit.shape[0]
+    nodes = jnp.where(valid_edge, path_nodes, N)
+    acts = path_actions
 
-    _, _, qsa, nsa, ns, qs = jax.lax.while_loop(
-        bcond, bbody, (n0, v0, tree.qsa, tree.nsa, tree.n_visit, tree.qs))
-    return tree.replace(qsa=qsa, nsa=nsa, n_visit=ns, qs=qs)
+    n_old = tree.nsa[jnp.minimum(nodes, N - 1), acts]
+    q_old = tree.qsa[jnp.minimum(nodes, N - 1), acts]
+    q_new = (n_old.astype(qdt) * q_old + v0) / (n_old + 1).astype(qdt)
+    ns_old = tree.n_visit[jnp.minimum(nodes, N - 1)].astype(qdt)
+    qs_old = tree.qs[jnp.minimum(nodes, N - 1)]
+    qs_new = ((ns_old + 1) * qs_old + v0) / (ns_old + 2)
+
+    return tree.replace(
+        qsa=tree.qsa.at[nodes, acts].set(q_new, mode="drop"),
+        nsa=tree.nsa.at[nodes, acts].add(1, mode="drop"),
+        qs=tree.qs.at[nodes].set(qs_new, mode="drop"),
+        n_visit=tree.n_visit.at[nodes].add(1, mode="drop"),
+    )
