@@ -12,11 +12,13 @@ from alphazero_tpu.games.base import GameSpec, roll_returns
 from alphazero_tpu.games.santorini import make_santorini
 from alphazero_tpu.games.splendor import make_splendor
 from alphazero_tpu.games.azul import make_azul
+from alphazero_tpu.games.abalone import make_abalone
 
 GAME_REGISTRY: Dict[str, Callable[..., GameSpec]] = {
     "santorini": make_santorini,
     "splendor": make_splendor,
     "azul": make_azul,
+    "abalone": make_abalone,
 }
 
 
