@@ -13,12 +13,14 @@ from alphazero_tpu.games.santorini import make_santorini
 from alphazero_tpu.games.splendor import make_splendor
 from alphazero_tpu.games.azul import make_azul
 from alphazero_tpu.games.abalone import make_abalone
+from alphazero_tpu.games.minivilles import make_minivilles
 
 GAME_REGISTRY: Dict[str, Callable[..., GameSpec]] = {
     "santorini": make_santorini,
     "splendor": make_splendor,
     "azul": make_azul,
     "abalone": make_abalone,
+    "minivilles": make_minivilles,
 }
 
 
