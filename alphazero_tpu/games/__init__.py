@@ -14,6 +14,7 @@ from alphazero_tpu.games.splendor import make_splendor
 from alphazero_tpu.games.azul import make_azul
 from alphazero_tpu.games.abalone import make_abalone
 from alphazero_tpu.games.minivilles import make_minivilles
+from alphazero_tpu.games.tlp import make_tlp
 
 GAME_REGISTRY: Dict[str, Callable[..., GameSpec]] = {
     "santorini": make_santorini,
@@ -21,6 +22,7 @@ GAME_REGISTRY: Dict[str, Callable[..., GameSpec]] = {
     "azul": make_azul,
     "abalone": make_abalone,
     "minivilles": make_minivilles,
+    "thelittleprince": make_tlp,
 }
 
 

@@ -41,7 +41,7 @@ def main():
     if args.quick:
         B, sims, moves, ch, depth = 32, 16, 4, 32, 2
     else:
-        B = args.batch or (2048 if platform != "cpu" else 64)
+        B = args.batch or (1024 if platform != "cpu" else 64)
         sims, moves, ch, depth = args.sims, args.moves, args.channels, args.depth
 
     spec = make_game("santorini", nb_gods=1, init_method=1)
