@@ -15,6 +15,7 @@ from alphazero_tpu.games.azul import make_azul
 from alphazero_tpu.games.abalone import make_abalone
 from alphazero_tpu.games.minivilles import make_minivilles
 from alphazero_tpu.games.tlp import make_tlp
+from alphazero_tpu.games.akropolis import make_akropolis
 
 GAME_REGISTRY: Dict[str, Callable[..., GameSpec]] = {
     "santorini": make_santorini,
@@ -23,6 +24,7 @@ GAME_REGISTRY: Dict[str, Callable[..., GameSpec]] = {
     "abalone": make_abalone,
     "minivilles": make_minivilles,
     "thelittleprince": make_tlp,
+    "akropolis": make_akropolis,
 }
 
 
