@@ -16,6 +16,7 @@ from alphazero_tpu.games.abalone import make_abalone
 from alphazero_tpu.games.minivilles import make_minivilles
 from alphazero_tpu.games.tlp import make_tlp
 from alphazero_tpu.games.akropolis import make_akropolis
+from alphazero_tpu.games.botanik import make_botanik
 
 GAME_REGISTRY: Dict[str, Callable[..., GameSpec]] = {
     "santorini": make_santorini,
@@ -25,6 +26,7 @@ GAME_REGISTRY: Dict[str, Callable[..., GameSpec]] = {
     "minivilles": make_minivilles,
     "thelittleprince": make_tlp,
     "akropolis": make_akropolis,
+    "botanik": make_botanik,
 }
 
 
