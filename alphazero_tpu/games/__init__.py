@@ -17,6 +17,7 @@ from alphazero_tpu.games.minivilles import make_minivilles
 from alphazero_tpu.games.tlp import make_tlp
 from alphazero_tpu.games.akropolis import make_akropolis
 from alphazero_tpu.games.botanik import make_botanik
+from alphazero_tpu.games.smallworld import make_smallworld
 
 GAME_REGISTRY: Dict[str, Callable[..., GameSpec]] = {
     "santorini": make_santorini,
@@ -27,6 +28,7 @@ GAME_REGISTRY: Dict[str, Callable[..., GameSpec]] = {
     "thelittleprince": make_tlp,
     "akropolis": make_akropolis,
     "botanik": make_botanik,
+    "smallworld": make_smallworld,
 }
 
 
