@@ -7,7 +7,13 @@ Player specs:
                                     rebuilds MCTS args FROM the checkpoint,
                                     pit.py:42-58)
   "random"                       -> uniform random over valid moves
+  "greedy"                       -> generic 1-ply score-lookahead player
+  "human"                        -> interactive console player
   "mcts0"                        -> MCTS with an untrained (fresh) net
+
+Any matchup involving "human" (or --verbose) runs move-by-move on the host
+with board rendering (reference Arena verbose mode); everything else runs as
+one batched jit arena.
 """
 
 from __future__ import annotations
@@ -32,6 +38,8 @@ def main(argv=None):
                    help="glicko2 ratings JSON path to update")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--verbose", "-v", action="store_true",
+                   help="host-loop play with board rendering per move")
     args = p.parse_args(argv)
 
     import jax
@@ -51,8 +59,8 @@ def main(argv=None):
 
     def build(spec_str, key):
         """Returns (kind, params, mcts_cfg, net_cfg)."""
-        if spec_str == "random":
-            return ("random", None, None, None)
+        if spec_str in ("random", "greedy", "human"):
+            return (spec_str, None, None, None)
         base_net = NetConfig()
         if spec_str == "mcts0":
             cfg = Config()
@@ -74,22 +82,54 @@ def main(argv=None):
         import dataclasses
         mc = dataclasses.replace(mc, num_sims=args.numMCTSSims)
 
-    if kind_a == "mcts" and kind_b == "mcts":
+    from alphazero_tpu.train.arena import ArenaResult
+
+    def host_player(kind, params, mcfg, ncfg):
+        from alphazero_tpu import players as pl
+        if kind == "random":
+            return pl.random_player(spec)
+        if kind == "greedy":
+            return pl.greedy_player(spec)
+        if kind == "human":
+            return pl.human_player(spec)
+        return pl.mcts_player(spec, make_net(spec, ncfg), params,
+                              mcfg or mc)
+
+    host_mode = args.verbose or "human" in (kind_a, kind_b)
+    if host_mode:
+        from alphazero_tpu.players import play_host_game
+        pl_a = host_player(kind_a, pa, mca, neta)
+        pl_b = host_player(kind_b, pb, mcb, netb)
+        wins = [0, 0, 0]  # a, b, draws
+        for g in range(args.num_games):
+            seats = [pl_a, pl_b] if g % 2 == 0 else [pl_b, pl_a]
+            result, moves = play_host_game(
+                spec, seats + [pl_a] * (spec.num_players - 2),
+                jax.random.PRNGKey(args.seed + g), verbose=args.verbose)
+            ra = result[0] if g % 2 == 0 else result[1]
+            wins[0 if ra > 0.5 else (1 if ra < -0.5 else 2)] += 1
+            print(f"game {g}: result {result.tolist()} in {moves} moves")
+        res = ArenaResult(*(int(w) for w in wins), 0)
+    elif kind_a == "mcts" and kind_b == "mcts":
         net = make_net(spec, neta or netb)
         res = play_matches(spec, net, pa, pb, jax.random.PRNGKey(args.seed),
                            cfg=mc, num_games=args.num_games)
-    elif kind_a == "mcts" and kind_b == "random":
-        net = make_net(spec, neta)
-        res = play_vs_random(spec, net, pa, jax.random.PRNGKey(args.seed),
-                             cfg=mc, num_games=args.num_games)
-    elif kind_a == "random" and kind_b == "mcts":
-        net = make_net(spec, netb)
-        r = play_vs_random(spec, net, pb, jax.random.PRNGKey(args.seed),
+    elif "mcts" in (kind_a, kind_b) and "random" in (kind_a, kind_b):
+        params, ncfg = (pa, neta) if kind_a == "mcts" else (pb, netb)
+        net = make_net(spec, ncfg)
+        r = play_vs_random(spec, net, params, jax.random.PRNGKey(args.seed),
                            cfg=mc, num_games=args.num_games)
-        from alphazero_tpu.train.arena import ArenaResult
-        res = ArenaResult(r.two_wins, r.one_wins, r.draws, r.unfinished)
+        res = r if kind_a == "mcts" else \
+            ArenaResult(r.two_wins, r.one_wins, r.draws, r.unfinished)
+    elif "greedy" in (kind_a, kind_b) and "random" in (kind_a, kind_b):
+        from alphazero_tpu.players import play_greedy_vs_random
+        g, r_, d, u = play_greedy_vs_random(
+            spec, jax.random.PRNGKey(args.seed), num_games=args.num_games)
+        res = ArenaResult(g, r_, d, u) if kind_a == "greedy" else \
+            ArenaResult(r_, g, d, u)
     else:
-        raise SystemExit("random vs random is not a meaningful matchup")
+        raise SystemExit(f"unsupported matchup {kind_a} vs {kind_b} "
+                         "(use --verbose for the host loop)")
 
     out = dict(one=args.players[0], two=args.players[1],
                one_wins=int(res.one_wins), two_wins=int(res.two_wins),

@@ -40,8 +40,9 @@ MONUMENTS_COST = np.array([4, 10, 16, 22], np.int32)
 
 def deterministic_dice(seed, rnd, money):
     """Universe-style deterministic dice for seed > 25 (our addition; the
-    reference rolls true-random during search)."""
-    h1 = (seed * 2654435761 + rnd * 97 + money * 31) & 0x7FFFFFFF
+    reference rolls true-random during search).  Multipliers chosen so the
+    products stay int32-exact (magic seeds <= 31416; x64 is off on TPU)."""
+    h1 = (seed * 48271 + rnd * 97 + money * 31) & 0x7FFFFFFF
     h2 = (seed * 40503 + rnd * 13 + money * 7) & 0x7FFFFFFF
     return h1 % 5 + 1, h2 % 5 + 1
 
