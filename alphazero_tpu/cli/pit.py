@@ -59,7 +59,7 @@ def main(argv=None):
 
     def build(spec_str, key):
         """Returns (kind, params, mcts_cfg, net_cfg)."""
-        if spec_str in ("random", "greedy", "human"):
+        if spec_str in ("random", "greedy", "human", "undefeated"):
             return (spec_str, None, None, None)
         base_net = NetConfig()
         if spec_str == "mcts0":
@@ -92,10 +92,14 @@ def main(argv=None):
             return pl.greedy_player(spec)
         if kind == "human":
             return pl.human_player(spec)
+        if kind == "undefeated":
+            from alphazero_tpu.games.akropolis_bot import UndefeatedPlayer
+            return UndefeatedPlayer(spec)
         return pl.mcts_player(spec, make_net(spec, ncfg), params,
                               mcfg or mc)
 
-    host_mode = args.verbose or "human" in (kind_a, kind_b)
+    host_mode = args.verbose or "human" in (kind_a, kind_b) \
+        or "undefeated" in (kind_a, kind_b)
     if host_mode:
         from alphazero_tpu.players import play_host_game
         pl_a = host_player(kind_a, pa, mca, neta)
