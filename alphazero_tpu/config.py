@@ -29,6 +29,8 @@ class MCTSConfig:
     ratio_full: int = 5            # fast search sims = num_sims // ratio_full
     prob_full: float = 0.25        # playout-cap randomization
     universes: int = 1             # 0 => true-random chance during search
+    max_depth: int = 0             # >0: cap descent depth (perf knob; capped
+    #                                revisits back up the node's stored Q)
     # array dtypes for the tree storage (memory/perf knobs)
     q_dtype: str = "float32"
     prior_dtype: str = "float32"

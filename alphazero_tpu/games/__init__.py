@@ -32,10 +32,23 @@ GAME_REGISTRY: Dict[str, Callable[..., GameSpec]] = {
 }
 
 
+_SPEC_CACHE: Dict[tuple, GameSpec] = {}
+
+
 def make_game(name: str, **kwargs) -> GameSpec:
+    """Build (or reuse) a GameSpec.
+
+    Memoized: a GameSpec holds fresh function closures, and jit caches key on
+    object identity — without memoization every caller (each pit player,
+    each PBT population member, ...) would recompile the entire self-play/
+    search/train program set for an identical game.
+    """
     if name not in GAME_REGISTRY:
         raise KeyError(f"unknown game {name!r}; known: {sorted(GAME_REGISTRY)}")
-    return GAME_REGISTRY[name](**kwargs)
+    key = (name, tuple(sorted(kwargs.items())))
+    if key not in _SPEC_CACHE:
+        _SPEC_CACHE[key] = GAME_REGISTRY[name](**kwargs)
+    return _SPEC_CACHE[key]
 
 
 __all__ = ["GameSpec", "GAME_REGISTRY", "make_game", "make_santorini",

@@ -139,35 +139,52 @@ def make_santorini(num_players: int = 2, nb_gods: int = 1,
 
     # --- valid moves (reference Board.valid_moves, lines 125-432) ----------
 
+    # Dense (gather-free) valids: TPU gathers with per-board dynamic indices
+    # are slow, so every "value at cell + dir" becomes a static roll of the
+    # whole plane and the per-worker extraction a masked any-reduction.
+    _ingrid_np = np.zeros((9, 5, 5), bool)
+    for _d in range(9):
+        _dy, _dx = _DIRS_NP[_d]
+        ys, xs = np.mgrid[0:5, 0:5]
+        _ingrid_np[_d] = ((ys + _dy >= 0) & (ys + _dy <= 4)
+                          & (xs + _dx >= 0) & (xs + _dx <= 4))
+    ingrid9 = jnp.asarray(_ingrid_np)
+
+    def _shift9(x, fill):
+        """(..., 5, 5) -> (9, ..., 5, 5): value at cell + dir_d (OOB: fill)."""
+        outs = []
+        for d in range(9):
+            dy, dx = int(_DIRS_NP[d, 0]), int(_DIRS_NP[d, 1])
+            r = jnp.roll(x, (-dy, -dx), axis=(-2, -1))
+            pad = (1,) * (x.ndim - 2)
+            outs.append(jnp.where(ingrid9[d].reshape(pad + (5, 5)), r, fill))
+        return jnp.stack(outs)
+
     def _valids_tensor(state):
         """(2, 9, 9) validity of (worker, move_dir, build_dir) — NO_GOD rules
         (reference lines 135-151)."""
         workers, levels, _ = _planes(state)
-        pos = jnp.stack([_worker_yx(workers, 1), _worker_yx(workers, 2)])  # (2,2)
-        wid = jnp.array([1, 2], jnp.int32)
-
-        newpos = pos[:, None, :] + dirs[None]            # (2,9,2)
+        onehot = jnp.stack([workers == 1, workers == 2])   # (2,5,5)
+        sw = _shift9(workers, 9)                           # (9,5,5)
+        sl = _shift9(levels, 9)
         dir_ids = jnp.arange(9)
-        move_in = _in_grid(newpos)
-        w_new = _at(workers, newpos)
-        l_new = _at(levels, newpos)
-        l_old = _at(levels, pos)[:, None]
-        move_ok = (move_in
-                   & (dir_ids != NO_MOVE)[None]
-                   & (w_new == 0)
-                   & (l_new <= 3)
-                   & (l_new <= l_old + 1))               # (2,9)
 
-        buildpos = newpos[:, :, None, :] + dirs[None, None]  # (2,9,9,2)
-        build_in = _in_grid(buildpos)
-        w_b = _at(workers, buildpos)
-        l_b = _at(levels, buildpos)
-        build_ok = (build_in
-                    & (dir_ids != NO_BUILD)[None, None]
-                    & ((w_b == 0) | (w_b == wid[:, None, None]))
-                    & (l_b < 4))                          # (2,9,9)
+        # from cell c, moving in direction m (worker stands at c)
+        move = (ingrid9 & (dir_ids != NO_MOVE)[:, None, None]
+                & (sw == 0) & (sl <= 3)
+                & (sl <= levels[None] + 1))                # (9,5,5)
+        # from cell t, building in direction b for worker wid
+        wid = jnp.array([1, 2])[:, None, None, None]
+        build = (ingrid9[None] & (dir_ids != NO_BUILD)[None, :, None, None]
+                 & ((sw[None] == 0) | (sw[None] == wid))
+                 & (sl[None] < 4))                         # (2,9,5,5)
+        bshift = _shift9(build, False)                     # (9,2,9,5,5)
 
-        return move_ok[:, :, None] & build_ok            # (2,9,9)
+        comb = (onehot[None, :, None]                      # (1,2,1,5,5)
+                & move[:, None, None]                      # (9,1,1,5,5)
+                & bshift)                                  # (9,2,9,5,5)
+        out = jnp.any(comb, axis=(-2, -1))                 # (m,w,b)
+        return jnp.transpose(out, (1, 0, 2))               # (2,9,9)
 
     def valids(state):
         # nb_gods == 1: the only god slot is NO_GOD, so (2,9,9) == action space.

@@ -110,9 +110,11 @@ def mcts_search(spec: GameSpec, eval_fn: EvalFn, eval_args,
             seed = jnp.int32(-1)
         seeds = jnp.full((B,), seed, jnp.int32)
 
+        max_d = cfg.max_depth if cfg.max_depth > 0 else num_sims_max + 1
         parent, action, existing, p_nodes, p_acts, depth = jax.vmap(
             lambda t, f: select_leaf_path(t, cfg.cpuct, cfg.fpu, f, sim_idx,
-                                          max_depth=num_sims_max + 1)
+                                          max_depth=max_d,
+                                          depth_cap=cfg.max_depth)
         )(trees, forced_mask)
 
         parent_states = trees.states[jnp.arange(B), parent]

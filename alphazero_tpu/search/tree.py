@@ -131,7 +131,7 @@ def select_leaf(tree: Tree, cpuct: float, fpu: float, allow_forced,
 
 
 def select_leaf_path(tree: Tree, cpuct: float, fpu: float, allow_forced,
-                     sim_idx, max_depth: int):
+                     sim_idx, max_depth: int, depth_cap: int = 0):
     """select_leaf that also records the root-to-leaf path.
 
     Returns (parent, action, existing_child, path_nodes (D,), path_actions
@@ -140,16 +140,23 @@ def select_leaf_path(tree: Tree, cpuct: float, fpu: float, allow_forced,
     buffers, so the batched (vmapped) while_loop's per-iteration select cost
     is O(B*D) — NOT O(B*N*A) as it would be if the visit-count arrays were
     carried (that was measured to dominate self-play wall time).
+
+    depth_cap > 0 additionally stops the walk after depth_cap edges (perf
+    knob: the batched while_loop runs max-lane-depth iterations per sim, so
+    uncapped descent cost grows quadratically in the sim budget).  A
+    cap-stopped walk ends on an existing child; expand_node then backs up
+    that node's stored value instead of expanding.
     """
     D = max_depth
+    cap = depth_cap if depth_cap > 0 else D + 1
 
     def pick(node):
         return puct_action(tree, node, cpuct, fpu,
                            allow_forced & (node == 0), sim_idx)
 
     def cond_fn(c):
-        _, _, ch, _, _, _ = c
-        return (ch >= 0) & ~tree.is_term[jnp.maximum(ch, 0)]
+        _, _, ch, depth, _, _ = c
+        return (ch >= 0) & ~tree.is_term[jnp.maximum(ch, 0)] & (depth < cap)
 
     def body_fn(c):
         _, _, ch, depth, nodes, acts = c
@@ -183,10 +190,17 @@ def expand_node(tree: Tree, parent, action, existing_child, child_state,
     new_idx = tree.next_free
     leaf = jnp.where(is_new, new_idx, existing_child)
 
-    stored_term = tree.term_val[jnp.maximum(existing_child, 0)]
+    old = jnp.maximum(existing_child, 0)
+    stored_term = tree.term_val[old]
+    # cap-stopped interior revisit: expand the stored scalar Q per player
+    P = tree.term_val.shape[1]
+    q_old = tree.qs[old].astype(jnp.float32)
+    stored_q = jnp.concatenate(
+        [q_old[None], jnp.tile(-q_old[None] / (P - 1), (P - 1,))])
+    stored_v = jnp.where(tree.is_term[old], stored_term, stored_q)
     v_leaf = jnp.where(is_new,
                        jnp.where(child_is_term, child_term, child_value),
-                       stored_term)
+                       stored_v)
 
     wmask = active & is_new
 

@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--moves", type=int, default=16)
     ap.add_argument("--channels", type=int, default=128)
     ap.add_argument("--depth", type=int, default=6)
+    ap.add_argument("--max-depth", type=int, default=24,
+                    help="tree descent depth cap (0 = unbounded/exact); "
+                    "capped revisits back up the node's stored Q")
     ap.add_argument("--cpu", action="store_true", help="force CPU platform")
     args = ap.parse_args()
 
@@ -41,14 +44,14 @@ def main():
     if args.quick:
         B, sims, moves, ch, depth = 32, 16, 4, 32, 2
     else:
-        B = args.batch or (1024 if platform != "cpu" else 64)
+        B = args.batch or (2048 if platform != "cpu" else 64)
         sims, moves, ch, depth = args.sims, args.moves, args.channels, args.depth
 
     spec = make_game("santorini", nb_gods=1, init_method=1)
     net = make_net(spec, NetConfig(version=1, channels=ch, depth=depth))
     params = init_params(net, spec, jax.random.PRNGKey(0))
     mc = MCTSConfig(num_sims=sims, ratio_full=4, prob_full=0.25,
-                    forced_playouts=True)
+                    forced_playouts=True, max_depth=args.max_depth)
     sp = SelfPlayConfig(batch_size=B)
 
     def run(key):
