@@ -38,6 +38,8 @@ def build_config(argv=None):
     p.add_argument("--ratio-fullMCTS", type=int, default=5)
     p.add_argument("--prob-fullMCTS", type=float, default=0.25)
     p.add_argument("--universes", "-u", type=int, default=1)
+    p.add_argument("--max-depth", type=int, default=0,
+                   help="tree descent depth cap (0 = unbounded/exact)")
 
     p.add_argument("--learn-rate", "-l", type=float, default=3e-4)
     p.add_argument("--epochs", "-p", type=int, default=2)
@@ -75,7 +77,7 @@ def build_config(argv=None):
             temp_soft=args.temperature[2],
             forced_playouts=args.forced_playouts,
             ratio_full=args.ratio_fullMCTS, prob_full=args.prob_fullMCTS,
-            universes=args.universes),
+            universes=args.universes, max_depth=args.max_depth),
         selfplay=SelfPlayConfig(
             batch_size=args.selfplay_batch, temp_begin=args.temperature[0],
             temp_end=args.temperature[1], temp_half_life=args.tempThreshold),

@@ -16,19 +16,28 @@ import numpy as np
 
 from alphazero_tpu.config import NetConfig
 from alphazero_tpu.games.base import GameSpec
-from alphazero_tpu.models.nets import ConvNetV1, MixerNetV1, MLPNetV1
+from alphazero_tpu.models.nets import (ConvNetV1, EntityNetV2, FiLMConvNetV2,
+                                       MixerNetV1, MLPNetV1)
 
 
 def make_net(spec: GameSpec, cfg: NetConfig):
-    """Pick an architecture for a game by version + observation rank."""
+    """Pick an architecture by version + observation rank (the reference's
+    per-game numbered versions, e.g. Splendor V80/90, Akropolis V40/50):
+      version 0: dense baseline
+      version 1: residual conv (planes) / MLP-Mixer (rows)
+      version 2: FiLM-conditioned conv (planes) / entity-token transformer
+                 (rows)
+    """
     dtype = jnp.dtype(cfg.dtype)
     kw = dict(num_actions=spec.num_actions, num_players=spec.num_players,
               channels=cfg.channels, depth=cfg.depth, dtype=dtype)
     if cfg.version == 0:
         return MLPNetV1(**kw)
     if len(spec.obs_shape) == 3:         # (H, W, C) plane boards
-        return ConvNetV1(**kw)
+        return FiLMConvNetV2(**kw) if cfg.version >= 2 else ConvNetV1(**kw)
     if len(spec.obs_shape) == 2:         # (T, D) row boards
+        if cfg.version >= 2:
+            return EntityNetV2(num_tokens=spec.obs_shape[0], **kw)
         return MixerNetV1(num_tokens=spec.obs_shape[0], **kw)
     return MLPNetV1(**kw)
 

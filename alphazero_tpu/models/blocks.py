@@ -106,6 +106,51 @@ class InvertedResidual1D(nn.Module):
         return x + h
 
 
+class FiLMBlock(nn.Module):
+    """Feature-wise linear modulation of conv features by a global context
+    vector (reference: FiLM-conditioned MobileNet for Akropolis,
+    akropolis/AkropolisNNet.py:74-170)."""
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, ctx):
+        # x: (B, H, W, C); ctx: (B, K)
+        h = ConvNormAct(self.features, 3, self.dtype)(x)
+        gb = nn.Dense(2 * self.features, dtype=self.dtype,
+                      param_dtype=jnp.float32)(ctx)
+        gamma, beta = jnp.split(gb, 2, axis=-1)
+        h = h * (1.0 + gamma[:, None, None, :]) + beta[:, None, None, :]
+        h = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
+                    param_dtype=jnp.float32)(h)
+        h = nn.GroupNorm(num_groups=min(32, self.features),
+                         dtype=self.dtype, param_dtype=jnp.float32)(h)
+        return nn.silu(x + h)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-norm micro-transformer block over entity tokens (reference
+    micro-Transformer trunk, splendor/SplendorNNet.py:333-354)."""
+    features: int
+    heads: int = 4
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, dtype=self.dtype,
+            param_dtype=jnp.float32)(h, h)
+        x = x + h
+        h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+        h = nn.Dense(self.features * 4, dtype=self.dtype,
+                     param_dtype=jnp.float32)(h)
+        h = nn.silu(h)
+        h = nn.Dense(self.features, dtype=self.dtype,
+                     param_dtype=jnp.float32)(h)
+        return x + h
+
+
 class TokenMixer(nn.Module):
     """MLP-Mixer style token mixing across board rows (reference entity-token
     trunk, splendor/SplendorNNet.py:206-233)."""

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from alphazero_tpu.models.blocks import (
-    ConvNormAct, DenseNormAct, InvertedResidual1D, ResBlock2D, TokenMixer)
+    ConvNormAct, DenseNormAct, FiLMBlock, InvertedResidual1D, ResBlock2D,
+    TokenMixer, TransformerBlock)
 
 MASK_VALUE = -1e8  # reference: torch.where(valids, pi, -1e8)
 
@@ -83,6 +84,62 @@ class MixerNetV1(nn.Module):
             x = InvertedResidual1D(self.channels, dtype=self.dtype)(x)
         feats = jnp.concatenate(
             [jnp.mean(x, axis=-2), jnp.max(x, axis=-2)], axis=-1)
+        return masked_heads(feats, valids, self.num_actions,
+                            self.num_players, self.dtype)
+
+
+class EntityNetV2(nn.Module):
+    """Entity-token transformer for row-structured boards — the reference's
+    V90-92 family (typed entity embeddings + micro-Transformer trunk,
+    splendor/SplendorNNet.py:10-97,333-383).  Each board row becomes a token
+    with a learned positional/type embedding; a small pre-norm transformer
+    mixes entities; heads read the pooled sequence."""
+    num_actions: int
+    num_players: int
+    num_tokens: int
+    channels: int = 128
+    depth: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, obs, valids, train: bool = False):
+        x = obs.astype(self.dtype)                   # (B, T, D)
+        x = nn.Dense(self.channels, dtype=self.dtype,
+                     param_dtype=jnp.float32)(x)
+        pos = self.param("entity_embed", nn.initializers.normal(0.02),
+                         (self.num_tokens, self.channels), jnp.float32)
+        x = x + pos.astype(self.dtype)[None]
+        for _ in range(self.depth):
+            x = TransformerBlock(self.channels, dtype=self.dtype)(x)
+        feats = jnp.concatenate(
+            [jnp.mean(x, axis=-2), jnp.max(x, axis=-2)], axis=-1)
+        return masked_heads(feats, valids, self.num_actions,
+                            self.num_players, self.dtype)
+
+
+class FiLMConvNetV2(nn.Module):
+    """FiLM-conditioned conv trunk for plane boards — the reference's
+    Akropolis V50 family (global-context features modulating a MobileNet
+    trunk, akropolis/AkropolisNNet.py:74-170,415-496).  The global context is
+    the mean-pooled input (scalar planes included), so non-geometric state
+    (deck, scores, stones) steers every conv block."""
+    num_actions: int
+    num_players: int
+    channels: int = 128
+    depth: int = 6
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, obs, valids, train: bool = False):
+        x = obs.astype(self.dtype)
+        ctx = jnp.mean(x, axis=(-3, -2))             # (B, C_in)
+        ctx = DenseNormAct(self.channels, dtype=self.dtype)(ctx)
+        x = ConvNormAct(self.channels, 3, self.dtype)(x)
+        for _ in range(self.depth):
+            x = FiLMBlock(self.channels, self.dtype)(x, ctx)
+        feats = jnp.concatenate(
+            [jnp.mean(x, axis=(-3, -2)), jnp.max(x, axis=(-3, -2)), ctx],
+            axis=-1)
         return masked_heads(feats, valids, self.num_actions,
                             self.num_players, self.dtype)
 
