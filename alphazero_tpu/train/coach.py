@@ -141,6 +141,9 @@ class Coach:
         if not (self.skip_first_selfplay and self.iteration == 1):
             metrics["selfplay"] = self.self_play()
         metrics["train"] = self.train()
+        # the candidate is always persisted, accepted or not (the reference
+        # writes temp.pt every iteration, Coach.py:192)
+        self.save("temp")
         metrics["gate"] = self.gate()
         g = metrics["gate"]
         log.info("iter %d: new vs prev %d-%d (%d draws) -> %s",
