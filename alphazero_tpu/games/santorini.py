@@ -46,6 +46,7 @@ NO_GOD, APOLLO, MINOTAUR, ATLAS, HEPHAESTUS = 0, 1, 2, 3, 4
 ARTEMIS, DEMETER, HERMES, PAN, ATHENA, PROMETHEUS = 5, 6, 7, 8, 9, 10
 NO_MOVE = 4
 NO_BUILD = 4
+MAX_ITER_FOR_HERMES = 5  # reference SantoriniConstants.py:7
 
 # Direction index d in 0..8 maps to (dy, dx) = (d//3 - 1, d%3 - 1)
 # (reference SantoriniLogicNumba.py:56-70).
@@ -89,9 +90,8 @@ def make_santorini(num_players: int = 2, nb_gods: int = 1,
     """Build the Santorini GameSpec.  nb_gods=1 => no god powers."""
     if num_players != 2:
         raise ValueError("Santorini is a 2-player game")
-    if nb_gods != 1:
-        raise NotImplementedError(
-            "god powers are not implemented yet; use nb_gods=1")
+    if nb_gods not in (1, 11):
+        raise ValueError("nb_gods must be 1 (no powers) or 11 (all gods)")
     if init_method not in (0, 1):
         raise ValueError("init_method must be 0 (predefined) or 1 (random)")
 
@@ -222,6 +222,227 @@ def make_santorini(num_players: int = 2, nb_gods: int = 1,
         swap = jnp.int32(1)  # no play-again without god powers
         return nxt, swap
 
+    # --- god-powers variant (nb_gods == 11) ----------------------------------
+    # Reference valid_moves god dispatch (SantoriniLogicNumba.py:125-432) and
+    # make_move powers (:434-550).  Gather-based (2 workers, tiny tensors) —
+    # the no-gods flagship keeps the dense fast path above.
+
+    def _valids_gods(state):
+        s = state.astype(jnp.int32)
+        workers, levels = s[:, :, 0], s[:, :, 1]
+        gods = s[:, :, 2].reshape(25)
+        own = gods[:nb_gods]
+        opp = gods[nb_gods:2 * nb_gods]
+        own_god = jnp.argmax(own > 0)
+        climb = jnp.where(opp[ATHENA] > 64, 0, 1)
+
+        pos = jnp.stack([_worker_yx(workers, 1), _worker_yx(workers, 2)])
+        wid = jnp.array([1, 2], jnp.int32)
+        lvl_old = _at(levels, pos)                          # (2,)
+        m_ids = jnp.arange(9)
+        newpos = pos[:, None, :] + dirs[None]               # (2,9,2)
+        ingrid = _in_grid(newpos)
+        wn = _at(workers, newpos)
+        ln = _at(levels, newpos)
+        not_dome = ln <= 3
+        climb_ok = ln <= lvl_old[:, None] + climb
+        move_n = ((m_ids != NO_MOVE)[None] & ingrid & (wn == 0)
+                  & not_dome & climb_ok)                    # (2,9)
+        move_noclimb = ((m_ids != NO_MOVE)[None] & ingrid & (wn == 0)
+                        & not_dome & (ln <= lvl_old[:, None]))
+        swap_mv = ((m_ids != NO_MOVE)[None] & ingrid & (wn < 0)
+                   & not_dome & climb_ok)
+        pushpos = newpos + dirs[None]                       # (2,9,2)
+        ppin = _in_grid(pushpos)
+        push_ok = ppin & (_at(workers, pushpos) == 0) \
+            & (_at(levels, pushpos) <= 3)
+        push_mv = swap_mv & push_ok
+        same_lvl_mv = move_n & (ln == lvl_old[:, None])
+
+        b_ids = jnp.arange(9)
+        bp = newpos[:, :, None, :] + dirs[None, None]       # (2,9,9,2)
+        bin_ = _in_grid(bp)
+        wb = _at(workers, bp)
+        lb = _at(levels, bp)
+        free_b = (wb == 0) | (wb == wid[:, None, None])
+        bmask = (b_ids != NO_BUILD)[None, None]
+        build_n = bmask & bin_ & free_b & (lb < 4)          # (2,9,9)
+        build_dome = bmask & bin_ & free_b & (lb < 3)
+        build_two = bmask & bin_ & free_b & (lb < 2)
+        build_old = build_n[:, NO_MOVE]                     # (2,9) from pos
+
+        normal = move_n[:, :, None] & build_n               # (2,9,9)
+        Z = jnp.zeros((2, nb_gods, 9, 9), bool)
+
+        def with_col(V, col, tens):
+            return V.at[:, col].set(tens)
+
+        def b_plain():
+            return with_col(Z, NO_GOD, normal)
+
+        def b_apollo():
+            V = with_col(Z, NO_GOD, normal)
+            alt = (swap_mv & ~move_n)[:, :, None] & build_n
+            return with_col(V, APOLLO, alt)
+
+        def b_minotaur():
+            V = with_col(Z, NO_GOD, normal)
+            alt = (push_mv & ~move_n)[:, :, None] & build_n
+            return with_col(V, MINOTAUR, alt)
+
+        def b_atlas():
+            V = with_col(Z, NO_GOD, normal)
+            return with_col(V, ATLAS, move_n[:, :, None] & build_dome)
+
+        def b_hephaestus():
+            V = with_col(Z, NO_GOD, normal)
+            return with_col(V, HEPHAESTUS, move_n[:, :, None] & build_two)
+
+        def b_artemis():
+            data = own[ARTEMIS] % 64 - 1
+            wf, avoid = data // 9, data % 9
+            V1 = with_col(Z, NO_GOD, normal)
+            V1 = V1.at[:, ARTEMIS, :, NO_BUILD].set(move_n)
+            wmask = (jnp.arange(2) == wf)[:, None, None]
+            V2 = with_col(Z, NO_GOD, normal & wmask
+                          & (m_ids != avoid)[None, :, None])
+            return jnp.where(data < 0, V1, V2)
+
+        def b_demeter():
+            data = own[DEMETER] % 64 - 1
+            wf, avoid = data // 9, data % 9
+            V1 = with_col(Z, DEMETER, normal)
+            col = build_old & (b_ids != avoid)[None]        # (2,9)
+            col = col | (b_ids == NO_BUILD)[None]           # cancel 2nd turn
+            wmask = jnp.arange(2) == wf
+            V2 = Z.at[:, NO_GOD, NO_MOVE, :].set(col & wmask[:, None])
+            return jnp.where(data < 0, V1, V2)
+
+        def b_hermes():
+            cnt = own[HERMES] % 64
+            V = Z.at[:, NO_GOD, NO_MOVE, :].set(build_old)
+            V = V.at[:, HERMES, :, NO_BUILD].set(
+                same_lvl_mv & (cnt < MAX_ITER_FOR_HERMES))
+            return V.at[:, NO_GOD].set(
+                V[:, NO_GOD] | (normal & (cnt == 0)))
+
+        def b_prometheus():
+            data = own[PROMETHEUS] % 64 - 1
+            wf = data // 9
+            V1 = with_col(Z, NO_GOD, normal)
+            V1 = V1.at[:, PROMETHEUS, NO_MOVE, :].set(build_old)
+            wmask = (jnp.arange(2) == wf)[:, None, None]
+            V2 = with_col(Z, NO_GOD,
+                          (move_noclimb[:, :, None] & build_n) & wmask)
+            return jnp.where(data < 0, V1, V2)
+
+        V = jax.lax.switch(
+            own_god,
+            [b_plain, b_apollo, b_minotaur, b_atlas, b_hephaestus,
+             b_artemis, b_demeter, b_hermes, b_plain, b_plain,
+             b_prometheus])
+        # (worker, god, move, build) -> action index layout
+        return V.reshape(num_actions)
+
+    def _step_gods(state, action, key, seed):
+        del key, seed
+        action = jnp.asarray(action, jnp.int32)
+        s = state.astype(jnp.int32)
+        workers, levels = s[:, :, 0], s[:, :, 1]
+        gods = s[:, :, 2].reshape(25)
+
+        w = action // (nb_gods * 81)
+        g = (action % (nb_gods * 81)) // 81
+        m = (action % 81) // 9
+        b = action % 9
+        wid = w + 1
+
+        old = jnp.where(wid == 1, _worker_yx(workers, 1),
+                        _worker_yx(workers, 2))
+        new = jnp.clip(old + dirs[m], 0, 4)
+        bp = jnp.clip(new + dirs[b], 0, 4)
+        bp_old = jnp.clip(old + dirs[b], 0, 4)
+        old_lvl = levels[old[0], old[1]]
+
+        def move_build(wk, lv, delta):
+            wk = wk.at[old[0], old[1]].set(0).at[new[0], new[1]].set(wid)
+            lv = lv.at[bp[0], bp[1]].add(
+                jnp.where(b != NO_BUILD, delta, 0))
+            return wk, lv
+
+        def g_nogod(wk, lv, gd):
+            wk, lv = move_build(wk, lv, 1)
+            new_lvl = lv[new[0], new[1]]
+            has_pan = gd[PAN] > 0
+            has_ath = gd[ATHENA] > 0
+            gd_pan = gd.at[PAN].set(
+                jnp.where(new_lvl <= old_lvl - 2, 65, gd[PAN]))
+            gd_ath = gd.at[ATHENA].set(
+                64 + jnp.where(new_lvl > old_lvl, 1, 0))
+            idx = jnp.arange(25)
+            gd_rst = jnp.where(idx < nb_gods, jnp.minimum(64, gd), gd)
+            gd = jnp.where(has_pan, gd_pan,
+                           jnp.where(has_ath, gd_ath, gd_rst))
+            return wk, lv, gd, False
+
+        def g_apollo(wk, lv, gd):
+            a, c = wk[old[0], old[1]], wk[new[0], new[1]]
+            wk = wk.at[old[0], old[1]].set(c).at[new[0], new[1]].set(a)
+            lv = lv.at[bp[0], bp[1]].add(1)
+            return wk, lv, gd, False
+
+        def g_minotaur(wk, lv, gd):
+            pp = jnp.clip(new + dirs[m], 0, 4)
+            opp_id = wk[new[0], new[1]]
+            wk = wk.at[pp[0], pp[1]].set(opp_id) \
+                .at[new[0], new[1]].set(wid).at[old[0], old[1]].set(0)
+            lv = lv.at[bp[0], bp[1]].add(1)
+            return wk, lv, gd, False
+
+        def g_atlas(wk, lv, gd):
+            wk = wk.at[old[0], old[1]].set(0).at[new[0], new[1]].set(wid)
+            lv = lv.at[bp[0], bp[1]].set(4)
+            return wk, lv, gd, False
+
+        def g_hephaestus(wk, lv, gd):
+            wk = wk.at[old[0], old[1]].set(0).at[new[0], new[1]].set(wid)
+            lv = lv.at[bp[0], bp[1]].add(2)
+            return wk, lv, gd, False
+
+        def g_artemis(wk, lv, gd):
+            wk = wk.at[old[0], old[1]].set(0).at[new[0], new[1]].set(wid)
+            gd = gd.at[ARTEMIS].set(64 + (w * 9 + (8 - m) + 1))
+            return wk, lv, gd, True
+
+        def g_demeter(wk, lv, gd):
+            wk = wk.at[old[0], old[1]].set(0).at[new[0], new[1]].set(wid)
+            lv = lv.at[bp[0], bp[1]].add(1)
+            gd = gd.at[DEMETER].set(64 + (w * 9 + b + 1))
+            return wk, lv, gd, True
+
+        def g_hermes(wk, lv, gd):
+            wk = wk.at[old[0], old[1]].set(0).at[new[0], new[1]].set(wid)
+            gd = gd.at[HERMES].add(1)
+            return wk, lv, gd, True
+
+        def g_prometheus(wk, lv, gd):
+            lv = lv.at[bp_old[0], bp_old[1]].add(1)
+            gd = gd.at[PROMETHEUS].set(64 + (w * 9 + 1))
+            return wk, lv, gd, True
+
+        wk, lv, gd, again = jax.lax.switch(
+            g, [g_nogod, g_apollo, g_minotaur, g_atlas, g_hephaestus,
+                g_artemis, g_demeter, g_hermes, g_nogod, g_nogod,
+                g_prometheus],
+            workers, levels, gods)
+        gd = gd.at[round_cell].add(jnp.where(gd[round_cell] < 127, 1, 0))
+        nxt = jnp.stack([wk.astype(jnp.int8), lv.astype(jnp.int8),
+                         gd.reshape(5, 5).astype(jnp.int8)], axis=-1)
+        return nxt, jnp.where(again, 0, 1).astype(jnp.int32)
+
+    valids_fn = _valids_gods if nb_gods > 1 else valids
+    step_fn = _step_gods if nb_gods > 1 else step
+
     # --- swap_players (reference lines 567-576) -----------------------------
 
     def canonical(state, swap):
@@ -249,7 +470,7 @@ def make_santorini(num_players: int = 2, nb_gods: int = 1,
         p1_pan = gods[PAN + nb_gods * 1] > 64 if nb_gods > PAN else False
         p0_win = (s0 == 3) | p0_pan
         p1_win = (s1 == 3) | p1_pan
-        blocked = ~jnp.any(valids(state))
+        blocked = ~jnp.any(valids_fn(state))
         win0 = jnp.array([1.0, -1.0], jnp.float32)
         win1 = jnp.array([-1.0, 1.0], jnp.float32)
         none = jnp.zeros(2, jnp.float32)
@@ -266,12 +487,20 @@ def make_santorini(num_players: int = 2, nb_gods: int = 1,
             workers = workers.at[2, 1].set(1).at[2, 3].set(2)
             workers = workers.at[1, 2].set(-1).at[3, 2].set(-2)
         else:
-            cells = jax.random.choice(key, 25, (4,), replace=False)
+            k_cells, k_gods = jax.random.split(key)
+            cells = jax.random.choice(k_cells, 25, (4,), replace=False)
             # reference places in order [1, -1, 2, -2] (line 110)
             vals = jnp.array([1, -1, 2, -2], jnp.int8)
             workers = workers.reshape(25).at[cells].set(vals).reshape(5, 5)
-        gods = gods.at[NO_GOD + nb_gods * 0].set(64)
-        gods = gods.at[NO_GOD + nb_gods * 1].set(64)
+        if nb_gods > 1 and init_method == 1:
+            # random distinct gods 1..NB_GODS-1 (reference line 113)
+            gs = jax.random.choice(k_gods, nb_gods - 1, (2,),
+                                   replace=False) + 1
+            gods = gods.at[gs[0]].set(64)
+            gods = gods.at[gs[1] + nb_gods].set(64)
+        else:
+            gods = gods.at[NO_GOD + nb_gods * 0].set(64)
+            gods = gods.at[NO_GOD + nb_gods * 1].set(64)
         return jnp.stack([workers, jnp.zeros((5, 5), jnp.int8),
                           gods.reshape(5, 5)], axis=-1)
 
@@ -285,30 +514,73 @@ def make_santorini(num_players: int = 2, nb_gods: int = 1,
 
     # --- symmetries (reference Board.get_symmetries, lines 578-653) ---------
 
+    # god-flag data transforms under symmetries: ARTEMIS/DEMETER store a
+    # (worker*9 + direction) payload that must rotate/flip with the board,
+    # and worker swaps shift the payload by 9 (reference
+    # _apply_permutation_gods :588-596 + _swap_workers_gods :631-637,
+    # including its quirk of also touching ATHENA's 0/1 payload).
+    def _dir_lut(core):
+        lut = np.arange(128, dtype=np.int8)
+        for d in range(18):
+            lut[65 + d] = 65 + 9 * (d // 9) + core[d % 9]
+        return lut
+
+    _swap_lut_np = np.arange(128, dtype=np.int8)
+    for _d in range(18):
+        _swap_lut_np[65 + _d] = 65 + (_d + 9) % 18
+    _rot_lut1 = _dir_lut(_ROT_CORE)
+    _rot_lut2 = _rot_lut1[_rot_lut1]
+    _rot_lut3 = _rot_lut2[_rot_lut1]
+    god_dir_luts = jnp.asarray(np.stack([
+        np.arange(128, dtype=np.int8), _rot_lut1, _rot_lut2, _rot_lut3,
+        _dir_lut(_FLIPLR_CORE), _dir_lut(_FLIPUD_CORE)]))
+    swap_lut = jnp.asarray(_swap_lut_np)
+
+    def _god_variant(godp, variant: int):
+        """Transformed god plane for symmetry `variant` (0..7)."""
+        if nb_gods == 1:
+            return godp
+        flat = godp.reshape(25).astype(jnp.int32)
+        if variant < 6:                      # identity/rot/flips: direction
+            lut = god_dir_luts[variant]
+            cells = [ARTEMIS, DEMETER, ARTEMIS + nb_gods, DEMETER + nb_gods]
+        else:                                # worker swaps: payload += 9
+            lut = swap_lut
+            off = 0 if variant == 6 else nb_gods
+            # PROMETHEUS payload also encodes the worker; the reference
+            # forgets to remap it (_swap_workers_gods :631-637), which makes
+            # its worker-swap symmetry constrain the wrong worker — fixed
+            # here (HERMES stays: its payload is a move count, not a worker)
+            cells = [ARTEMIS + off, DEMETER + off, ATHENA + off,
+                     PROMETHEUS + off]
+        for c in cells:
+            flat = flat.at[c].set(lut[flat[c]])
+        return flat.reshape(5, 5).astype(jnp.int8)
+
     def symmetries(state, pi, valid):
         workers = state[:, :, 0]
         levels = state[:, :, 1]
         godp = state[:, :, 2]
 
-        def pack(w, l):
-            return jnp.stack([w, l, godp], axis=-1)
+        def pack(w, l, variant):
+            return jnp.stack([w, l, _god_variant(godp, variant)], axis=-1)
 
         states = [state]
         w, l = workers, levels
-        for _ in range(3):
+        for k in range(3):
             w, l = jnp.rot90(w), jnp.rot90(l)
-            states.append(pack(w, l))
-        states.append(pack(jnp.fliplr(workers), jnp.fliplr(levels)))
-        states.append(pack(jnp.flipud(workers), jnp.flipud(levels)))
+            states.append(pack(w, l, k + 1))
+        states.append(pack(jnp.fliplr(workers), jnp.fliplr(levels), 4))
+        states.append(pack(jnp.flipud(workers), jnp.flipud(levels), 5))
 
         # swap own workers 1<->2 (state values swapped, policy halves swapped)
         sw = jnp.where(workers == 1, 2,
                        jnp.where(workers == 2, 1, workers)).astype(jnp.int8)
-        states.append(pack(sw, levels))
+        states.append(pack(sw, levels, 6))
         # swap opponent workers -1<->-2 (policy unchanged)
         so = jnp.where(workers == -1, -2,
                        jnp.where(workers == -2, -1, workers)).astype(jnp.int8)
-        states.append(pack(so, levels))
+        states.append(pack(so, levels, 7))
 
         st = jnp.stack(states)                      # (8, 5, 5, 3)
         pis = pi[action_gathers]                    # (8, A)
@@ -322,10 +594,10 @@ def make_santorini(num_players: int = 2, nb_gods: int = 1,
         state_shape=(5, 5, 3),
         obs_shape=(5, 5, 3),
         num_actions=num_actions,
-        max_game_length=128,
+        max_game_length=128 if nb_gods == 1 else 200,
         init=init,
-        valids=valids,
-        step=step,
+        valids=valids_fn,
+        step=step_fn,
         canonical=canonical,
         terminal=terminal,
         observe=observe,
