@@ -60,12 +60,16 @@ def _net_eval(net):
 
 @functools.partial(jax.jit,
                    static_argnames=("spec", "net", "mc", "sp", "num_moves",
-                                    "batch_size"))
+                                    "batch_size", "mesh"))
 def run_selfplay(spec: GameSpec, net, params, key, *, mc: MCTSConfig,
-                 sp: SelfPlayConfig, num_moves: int, batch_size: int
-                 ) -> Tuple[SelfPlayBatch, SelfPlayStats]:
+                 sp: SelfPlayConfig, num_moves: int, batch_size: int,
+                 mesh=None) -> Tuple[SelfPlayBatch, SelfPlayStats]:
     """Play `batch_size` games in lockstep for `num_moves` plies (auto-reset),
-    returning training examples with returns backfilled."""
+    returning training examples with returns backfilled.
+
+    mesh: optional jax.sharding.Mesh with a 'data' axis — game lanes are
+    sharded over it (SPMD data parallelism; XLA/GSPMD inserts the
+    collectives, SURVEY.md §2.5)."""
     B = batch_size
     P = spec.num_players
     n_fast = max(1, mc.num_sims // mc.ratio_full)
@@ -74,6 +78,11 @@ def run_selfplay(spec: GameSpec, net, params, key, *, mc: MCTSConfig,
 
     k_init, k_scan = jax.random.split(key)
     states0 = jax.vmap(spec.init)(jax.random.split(k_init, B))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        states0 = jax.lax.with_sharding_constraint(
+            states0, NamedSharding(
+                mesh, PartitionSpec("data", *([None] * (states0.ndim - 1)))))
 
     # playout-cap randomization by LANE SPLIT: exactly round(B*prob_full)
     # lanes run the full budget, the rest the fast budget, each group in its

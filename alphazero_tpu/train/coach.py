@@ -50,6 +50,18 @@ class Coach:
                                    self.spec.state_shape,
                                    self.spec.num_actions,
                                    self.spec.num_players)
+        # data-parallel mesh when several devices are visible: self-play
+        # lanes and train batches shard over 'data'; GSPMD inserts the
+        # gradient all-reduce (SURVEY.md §2.5 scale-out)
+        devs = jax.devices()
+        n_dev = len(devs)
+        if (n_dev > 1 and cfg.selfplay.batch_size % n_dev == 0
+                and cfg.train.batch_size % n_dev == 0):
+            from alphazero_tpu.parallel.mesh import make_mesh
+            self.mesh = make_mesh(num_data=n_dev, num_model=1, devices=devs)
+            log.info("data-parallel mesh over %d devices", n_dev)
+        else:
+            self.mesh = None
         self.iteration = 0
         self.consecutive_failures = 0
         self.skip_first_selfplay = False
@@ -84,7 +96,7 @@ class Coach:
             batch, stats = run_selfplay(
                 self.spec, self.net, self.state.params, self._next_key(),
                 mc=cfg.mcts, sp=cfg.selfplay, num_moves=num_moves,
-                batch_size=B)
+                batch_size=B, mesh=self.mesh)
             examples += self.replay.add_batch(jax.device_get(batch))
             episodes += int(stats.episodes_done)
             sims += int(stats.sims)
@@ -105,7 +117,8 @@ class Coach:
                      self.replay.sample(self.np_rng, cfg.batch_size).items()}
             self.state, m = train_step(
                 self.spec, self.net, cfg, total, self.state, batch,
-                self._next_key(), augment=cfg.symmetry_augment)
+                self._next_key(), augment=cfg.symmetry_augment,
+                mesh=self.mesh)
             losses.append(m)
         return dict(steps=total,
                     loss=float(np.mean([float(m.loss) for m in losses])),

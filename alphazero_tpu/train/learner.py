@@ -79,11 +79,25 @@ def _augment(spec: GameSpec, key, state, pi, valids):
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "net", "cfg",
-                                             "total_steps", "augment"))
+                                             "total_steps", "augment",
+                                             "mesh"))
 def train_step(spec: GameSpec, net, cfg: TrainConfig, total_steps: int,
-               state: TrainState, batch, key, augment: bool = True
-               ) -> Tuple[TrainState, TrainMetrics]:
+               state: TrainState, batch, key, augment: bool = True,
+               mesh=None) -> Tuple[TrainState, TrainMetrics]:
     opt, sched = make_optimizer(cfg, total_steps)
+
+    if mesh is not None:
+        # shard the batch over 'data'; params stay replicated so GSPMD
+        # inserts the gradient all-reduce over ICI automatically
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def shard_b(x):
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh,
+                                 PartitionSpec("data",
+                                               *([None] * (x.ndim - 1)))))
+
+        batch = jax.tree.map(shard_b, batch)
 
     st, pi_t, valids = batch["state"], batch["pi"], batch["valids"]
     if augment and spec.symmetries is not None:
