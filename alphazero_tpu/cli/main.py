@@ -41,7 +41,7 @@ def build_config(argv=None):
     p.add_argument("--max-depth", type=int, default=0,
                    help="tree descent depth cap (0 = unbounded/exact)")
 
-    p.add_argument("--learn-rate", "-l", type=float, default=3e-4)
+    p.add_argument("--learn-rate", "-l", type=float, default=1e-3)
     p.add_argument("--epochs", "-p", type=int, default=2)
     p.add_argument("--batch-size", "-b", type=int, default=512)
     p.add_argument("--nn-version", "-V", type=int, default=1)

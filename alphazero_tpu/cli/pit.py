@@ -14,6 +14,17 @@ Player specs:
 Any matchup involving "human" (or --verbose) runs move-by-move on the host
 with board rendering (reference Arena verbose mode); everything else runs as
 one batched jit arena.
+
+Modes beyond a single pairing:
+  --tournament D1 D2 ...   round-robin over checkpoint dirs / specs with
+                           glicko2 ratings (reference play_several_files,
+                           pit.py:167-195)
+  --age HOURS --root DIR   round-robin every */best modified in the last N
+                           hours (reference play_age, pit.py:89-96)
+  --score-file PATH        persist player one's winrate (the reference's
+                           score.txt HPO channel, pit.py:77-84)
+  --profile DIR            jax.profiler trace of the arena (the reference's
+                           cProfile harness, pit.py:198-214)
 """
 
 from __future__ import annotations
@@ -28,8 +39,17 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     p = argparse.ArgumentParser(description="alphazero_tpu pit")
     p.add_argument("game", nargs="?", default="santorini")
-    p.add_argument("players", nargs=2,
+    p.add_argument("players", nargs="*",
                    help="two player specs (ckpt dir | random | mcts0)")
+    p.add_argument("--tournament", nargs="+", default=None,
+                   help="round-robin these checkpoint dirs / specs")
+    p.add_argument("--age", "-A", type=float, default=0,
+                   help="tournament of every */best under --root modified "
+                        "in the last AGE hours")
+    p.add_argument("--root", default=".")
+    p.add_argument("--score-file", default=None)
+    p.add_argument("--profile", default=None,
+                   help="write a jax.profiler trace of the arena here")
     p.add_argument("--num-games", "-n", type=int, default=64)
     p.add_argument("--numMCTSSims", "-m", type=int, default=0,
                    help="override sims (0 = use checkpoint value)")
@@ -57,6 +77,15 @@ def main(argv=None):
     variant = json.loads(args.variant)
     spec = make_game(args.game, **variant)
 
+    if args.age > 0:
+        import glob
+        import time
+        cutoff = time.time() - args.age * 3600
+        args.tournament = sorted(
+            d for d in glob.glob(os.path.join(args.root, "*", "best"))
+            if os.path.getmtime(os.path.join(d, "params.msgpack")) >= cutoff)
+        logging.info("age tournament: %s", args.tournament)
+
     def build(spec_str, key):
         """Returns (kind, params, mcts_cfg, net_cfg)."""
         if spec_str in ("random", "greedy", "human", "undefeated"):
@@ -71,6 +100,66 @@ def main(argv=None):
         template = init_params(net, spec, key)
         params, cfg2, _, _ = load_checkpoint(spec_str, template)
         return ("mcts", params, cfg2.mcts, cfg2.net)
+
+    from alphazero_tpu.train.arena import ArenaResult as _AR
+
+    def run_pair(spec_a, spec_b, seed):
+        """One pairing through the batched arenas; returns ArenaResult."""
+        ka, kb = jax.random.split(jax.random.PRNGKey(seed))
+        kind_a, pa, mca, neta = build(spec_a, ka)
+        kind_b, pb, mcb, netb = build(spec_b, kb)
+        mc_ = mca or mcb or MCTSConfig()
+        if args.numMCTSSims:
+            import dataclasses as _dc
+            mc_ = _dc.replace(mc_, num_sims=args.numMCTSSims)
+        if kind_a == "mcts" and kind_b == "mcts":
+            return play_matches(spec, make_net(spec, neta), pa, pb,
+                                jax.random.PRNGKey(seed), cfg=mc_,
+                                num_games=args.num_games,
+                                net_b=make_net(spec, netb))
+        if "mcts" in (kind_a, kind_b) and "random" in (kind_a, kind_b):
+            params, ncfg = (pa, neta) if kind_a == "mcts" else (pb, netb)
+            net = make_net(spec, ncfg)
+            r = play_vs_random(spec, net, params, jax.random.PRNGKey(seed),
+                               cfg=mc_, num_games=args.num_games)
+            return r if kind_a == "mcts" else                 _AR(r.two_wins, r.one_wins, r.draws, r.unfinished)
+        raise SystemExit(f"unsupported pairing {kind_a} vs {kind_b}")
+
+    if args.tournament:
+        entries = list(args.tournament)
+        ratings = load_ratings(args.ratings) if args.ratings else {}
+        table = {e: [0, 0, 0] for e in entries}
+        for i in range(len(entries)):
+            for j in range(i + 1, len(entries)):
+                res = run_pair(entries[i], entries[j], args.seed + 97 * i + j)
+                w1, w2, dr = (int(res.one_wins), int(res.two_wins),
+                              int(res.draws))
+                table[entries[i]][0] += w1
+                table[entries[i]][1] += w2
+                table[entries[i]][2] += dr
+                table[entries[j]][0] += w2
+                table[entries[j]][1] += w1
+                table[entries[j]][2] += dr
+                update_pair(ratings, entries[i], entries[j], w1, w2, dr)
+                print(f"{entries[i]} vs {entries[j]}: {w1}-{w2} ({dr} draws)")
+        for e in sorted(entries, key=lambda x: -ratings[x].rating):
+            w, l_, d = table[e]
+            print(f"{e}: glicko2 {ratings[e].rating:.0f} "
+                  f"± {ratings[e].rd:.0f}  ({w}W {l_}L {d}D)")
+        if args.ratings:
+            save_ratings(args.ratings, ratings)
+        return
+
+    if len(args.players) != 2:
+        raise SystemExit("need two player specs (or --tournament/--age)")
+
+    if args.profile:
+        from alphazero_tpu.utils.profiling import trace as _trace
+        import contextlib
+        prof_cm = _trace(args.profile)
+    else:
+        import contextlib
+        prof_cm = contextlib.nullcontext()
 
     k = jax.random.PRNGKey(args.seed)
     ka, kb = jax.random.split(k)
@@ -100,6 +189,7 @@ def main(argv=None):
 
     host_mode = args.verbose or "human" in (kind_a, kind_b) \
         or "undefeated" in (kind_a, kind_b)
+    prof_cm.__enter__()
     if host_mode:
         from alphazero_tpu.players import play_host_game
         pl_a = host_player(kind_a, pa, mca, neta)
@@ -115,9 +205,10 @@ def main(argv=None):
             print(f"game {g}: result {result.tolist()} in {moves} moves")
         res = ArenaResult(*(int(w) for w in wins), 0)
     elif kind_a == "mcts" and kind_b == "mcts":
-        net = make_net(spec, neta or netb)
-        res = play_matches(spec, net, pa, pb, jax.random.PRNGKey(args.seed),
-                           cfg=mc, num_games=args.num_games)
+        res = play_matches(spec, make_net(spec, neta), pa, pb,
+                           jax.random.PRNGKey(args.seed),
+                           cfg=mc, num_games=args.num_games,
+                           net_b=make_net(spec, netb))
     elif "mcts" in (kind_a, kind_b) and "random" in (kind_a, kind_b):
         params, ncfg = (pa, neta) if kind_a == "mcts" else (pb, netb)
         net = make_net(spec, ncfg)
@@ -135,10 +226,16 @@ def main(argv=None):
         raise SystemExit(f"unsupported matchup {kind_a} vs {kind_b} "
                          "(use --verbose for the host loop)")
 
+    prof_cm.__exit__(None, None, None)
     out = dict(one=args.players[0], two=args.players[1],
                one_wins=int(res.one_wins), two_wins=int(res.two_wins),
                draws=int(res.draws), unfinished=int(res.unfinished))
     print(json.dumps(out))
+
+    if args.score_file:
+        decided = max(out["one_wins"] + out["two_wins"], 1)
+        with open(args.score_file, "w") as f:
+            f.write(str(out["one_wins"] / decided))
 
     if args.ratings:
         ratings = load_ratings(args.ratings)

@@ -46,7 +46,9 @@ class SelfPlayConfig:
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
-    learn_rate: float = 3e-4
+    # reference recipe anneals 3e-3 -> 3e-4 over stages (README.md:157-163);
+    # 3e-4 alone leaves the value head unfit (measured corr(v,z) ~ 0)
+    learn_rate: float = 1e-3
     epochs: int = 2
     batch_size: int = 512
     q_weight: float = 0.5          # value target = (Z + w*Q)/(1+w)

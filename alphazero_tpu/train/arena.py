@@ -29,11 +29,11 @@ class ArenaResult(NamedTuple):
     unfinished: jax.Array  # () int32 — games truncated at move cap
 
 
-def _paired_eval(net):
+def _paired_eval(net_a, net_b):
     def eval_fn(args, obs, valids):
         pa, pb, use_a = args             # use_a: (B,) bool, per lane
-        log_a, va = net.apply(pa, obs, valids)
-        log_b, vb = net.apply(pb, obs, valids)
+        log_a, va = net_a.apply(pa, obs, valids)
+        log_b, vb = net_b.apply(pb, obs, valids)
         m = use_a[:, None]
         return (jnp.exp(jnp.where(m, log_a, log_b)),
                 jnp.where(m, va, vb))
@@ -41,16 +41,19 @@ def _paired_eval(net):
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "net", "cfg",
-                                             "num_games", "temp_half_life"))
+                                             "num_games", "temp_half_life",
+                                             "net_b"))
 def play_matches(spec: GameSpec, net, params_a, params_b, key, *,
                  cfg: MCTSConfig, num_games: int,
-                 temp_half_life: int = 10) -> ArenaResult:
+                 temp_half_life: int = 10, net_b=None) -> ArenaResult:
     """num_games lanes; lane i seats A as (absolute) player i%2 — the
     reference's 1-2-2-1 alternation exists for tree-reuse fairness
-    (Arena.py:120-127), moot with fresh trees per move."""
+    (Arena.py:120-127), moot with fresh trees per move.  net_b lets the two
+    players use different architectures (the reference rebuilds each
+    player's net from its own checkpoint, pit.py:42-58)."""
     B = num_games
     P = spec.num_players
-    eval_fn = _paired_eval(net)
+    eval_fn = _paired_eval(net, net_b if net_b is not None else net)
 
     k_init, k_scan = jax.random.split(key)
     states0 = jax.vmap(spec.init)(jax.random.split(k_init, B))

@@ -66,6 +66,11 @@ class Coach:
         self.consecutive_failures = 0
         self.skip_first_selfplay = False
         self.history = []  # per-iteration metric dicts
+        # JSONL metrics stream (SURVEY.md §5 observability)
+        from alphazero_tpu.utils.profiling import MetricsLogger
+        self.metrics_log = MetricsLogger(
+            os.path.join(cfg.checkpoint_dir, "metrics.jsonl")) \
+            if cfg.checkpoint_dir else None
         log.info("game=%s actions=%d params=%d", self.spec.name,
                  self.spec.num_actions, param_count(params))
 
@@ -148,11 +153,25 @@ class Coach:
 
     # ------------------------------------------------------------------
 
+    def _dirichlet_advisory(self):
+        """Average branching factor vs the configured alpha (the reference
+        warns when alpha strays from ~10/avg_valids, Coach.py:169-176)."""
+        if self.replay.size == 0:
+            return
+        n = min(self.replay.size, 4096)
+        avg_valids = float(self.replay.valids[:n].sum(-1).mean())
+        advised = 10.0 / max(avg_valids, 1.0)
+        alpha = self.cfg.mcts.dirichlet_alpha
+        if alpha > 0 and not (0.5 * advised <= alpha <= 2.0 * advised):
+            log.warning("dirichlet alpha %.3f far from advised %.3f "
+                        "(avg %.1f valid moves)", alpha, advised, avg_valids)
+
     def run_iteration(self) -> dict:
         self.iteration += 1
         metrics = dict(iteration=self.iteration)
         if not (self.skip_first_selfplay and self.iteration == 1):
             metrics["selfplay"] = self.self_play()
+            self._dirichlet_advisory()
         metrics["train"] = self.train()
         # the candidate is always persisted, accepted or not (the reference
         # writes temp.pt every iteration, Coach.py:192)
@@ -167,6 +186,8 @@ class Coach:
             self.save(checkpoint_name(self.iteration))
             self.save("best")
         self.history.append(metrics)
+        if self.metrics_log is not None:
+            self.metrics_log.log(metrics)
         return metrics
 
     def learn(self):
