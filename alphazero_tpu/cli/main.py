@@ -58,6 +58,10 @@ def build_config(argv=None):
     p.add_argument("--smoke", action="store_true",
                    help="tiny end-to-end run for verification")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize() so the "
+                        "coach mesh spans all hosts' devices (ICI/DCN "
+                        "collectives via GSPMD)")
     args = p.parse_args(argv)
 
     if args.smoke:
@@ -103,6 +107,8 @@ def main(argv=None):
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.distributed:
+        jax.distributed.initialize()
 
     from alphazero_tpu.config import diff_configs
     from alphazero_tpu.train.checkpoint import load_config
