@@ -58,6 +58,9 @@ def build_config(argv=None):
     p.add_argument("--smoke", action="store_true",
                    help="tiny end-to-end run for verification")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--profile", default=None,
+                   help="jax.profiler trace dir: warm-up iteration, then "
+                        "one traced iteration (reference main.py:86-116)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize() so the "
                         "coach mesh spans all hosts' devices (ICI/DCN "
@@ -127,6 +130,12 @@ def main(argv=None):
     with open(os.path.join(cfg.checkpoint_dir, "settings.json"), "w") as f:
         f.write(cfg.to_json())
 
+    if args.profile:
+        from alphazero_tpu.utils.profiling import trace
+        coach.run_iteration()                 # warm-up (compile)
+        with trace(args.profile):
+            coach.run_iteration()
+        logging.info("profile trace written to %s", args.profile)
     history = coach.learn()
     with open(os.path.join(cfg.checkpoint_dir, "history.json"), "w") as f:
         json.dump(history, f, indent=2, default=str)

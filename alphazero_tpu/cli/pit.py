@@ -50,6 +50,10 @@ def main(argv=None):
     p.add_argument("--score-file", default=None)
     p.add_argument("--profile", default=None,
                    help="write a jax.profiler trace of the arena here")
+    p.add_argument("--state", default=None,
+                   help=".npy board snapshot to start every game from "
+                        "(fixed-position regression, reference "
+                        "Arena.py:60-65 / pit.py:224)")
     p.add_argument("--num-games", "-n", type=int, default=64)
     p.add_argument("--numMCTSSims", "-m", type=int, default=0,
                    help="override sims (0 = use checkpoint value)")
@@ -187,7 +191,7 @@ def main(argv=None):
         return pl.mcts_player(spec, make_net(spec, ncfg), params,
                               mcfg or mc)
 
-    host_mode = args.verbose or "human" in (kind_a, kind_b) \
+    host_mode = args.verbose or args.state or "human" in (kind_a, kind_b) \
         or "undefeated" in (kind_a, kind_b)
     prof_cm.__enter__()
     if host_mode:
@@ -195,11 +199,16 @@ def main(argv=None):
         pl_a = host_player(kind_a, pa, mca, neta)
         pl_b = host_player(kind_b, pb, mcb, netb)
         wins = [0, 0, 0]  # a, b, draws
+        start = None
+        if args.state:
+            import numpy as np
+            start = np.load(args.state)
         for g in range(args.num_games):
             seats = [pl_a, pl_b] if g % 2 == 0 else [pl_b, pl_a]
             result, moves = play_host_game(
                 spec, seats + [pl_a] * (spec.num_players - 2),
-                jax.random.PRNGKey(args.seed + g), verbose=args.verbose)
+                jax.random.PRNGKey(args.seed + g), verbose=args.verbose,
+                start_state=start)
             ra = result[0] if g % 2 == 0 else result[1]
             wins[0 if ra > 0.5 else (1 if ra < -0.5 else 2)] += 1
             print(f"game {g}: result {result.tolist()} in {moves} moves")

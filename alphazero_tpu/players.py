@@ -125,15 +125,18 @@ def human_player(spec: GameSpec) -> Player:
 
 
 def play_host_game(spec: GameSpec, players, key, *, verbose: bool = False,
-                   seed_chance: int = 0, max_moves: Optional[int] = None):
+                   seed_chance: int = 0, max_moves: Optional[int] = None,
+                   start_state=None):
     """Play ONE game on the host with arbitrary (possibly interactive)
     players.  ``players[i]`` acts for absolute player i.  Returns the
     per-player result vector in the absolute frame (reference
-    Arena.playGame, :35-101)."""
+    Arena.playGame, :35-101).  start_state injects a fixed initial board
+    (the reference's --state snapshot feature, Arena.py:60-65)."""
     P = spec.num_players
     assert len(players) == P
     key, k0 = jax.random.split(key)
-    state = spec.init(k0)
+    state = spec.init(k0) if start_state is None else jnp.asarray(
+        start_state, jnp.int8)
     step_f = jax.jit(lambda s, a, k: spec.step_canonical(
         s, a, k, jnp.int32(seed_chance)))
     terminal_f = jax.jit(spec.terminal)
