@@ -41,15 +41,15 @@ class Coach:
         self.key = jax.random.PRNGKey(cfg.seed)
         self.np_rng = np.random.default_rng(cfg.seed)
 
+        self.replay = ReplayBuffer(cfg.train.replay_capacity,
+                                   self.spec.state_shape,
+                                   self.spec.num_actions,
+                                   self.spec.num_players)
         self.key, k = jax.random.split(self.key)
         params = init_params(self.net, self.spec, k)
         steps_per_iter = self._train_steps_per_iter()
         self.state = init_train_state(params, cfg.train, steps_per_iter)
         self.prev_params = params  # competitor (reference pnet, Coach.py:29)
-        self.replay = ReplayBuffer(cfg.train.replay_capacity,
-                                   self.spec.state_shape,
-                                   self.spec.num_actions,
-                                   self.spec.num_players)
         # data-parallel mesh when several devices are visible: self-play
         # lanes and train batches shard over 'data'; GSPMD inserts the
         # gradient all-reduce (SURVEY.md §2.5 scale-out)
@@ -77,10 +77,13 @@ class Coach:
     # ------------------------------------------------------------------
 
     def _train_steps_per_iter(self) -> int:
+        """epochs passes over the CURRENT replay (the reference samples
+        epochs * len(examples)/batch_size batches, GenericNNetWrapper.py:53).
+        Before any self-play, fall back to the expected first-iteration size."""
         t = self.cfg.train
-        batches = max(1, min(t.replay_capacity,
-                             t.games_per_iter * 40) // t.batch_size)
-        return t.epochs * batches
+        n = self.replay.size if self.replay.size > 0 \
+            else min(t.replay_capacity, t.games_per_iter * 40)
+        return t.epochs * max(1, n // t.batch_size)
 
     def _next_key(self):
         self.key, k = jax.random.split(self.key)

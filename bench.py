@@ -17,6 +17,11 @@ import time
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--game", default="santorini",
+                    help="any registry game (santorini benches the "
+                    "flagship no-gods variant)")
+    ap.add_argument("--variant", default=None,
+                    help='game variant JSON (default: flagship variant)')
     ap.add_argument("--quick", action="store_true",
                     help="small shapes for CI smoke")
     ap.add_argument("--batch", type=int, default=0,
@@ -47,7 +52,14 @@ def main():
         B = args.batch or (2048 if platform != "cpu" else 64)
         sims, moves, ch, depth = args.sims, args.moves, args.channels, args.depth
 
-    spec = make_game("santorini", nb_gods=1, init_method=1)
+    import json as _json
+    if args.variant is not None:
+        variant = _json.loads(args.variant)
+    elif args.game == "santorini":
+        variant = dict(nb_gods=1, init_method=1)
+    else:
+        variant = {}
+    spec = make_game(args.game, **variant)
     net = make_net(spec, NetConfig(version=1, channels=ch, depth=depth))
     params = init_params(net, spec, jax.random.PRNGKey(0))
     mc = MCTSConfig(num_sims=sims, ratio_full=4, prob_full=0.25,
@@ -80,11 +92,12 @@ def main():
         # reference: ~3000 rollouts/s on one i5 core (README_features.md:2)
         "vs_baseline": round(sims_per_s / 3000.0, 2),
         "extra": {
+            "game": spec.name,
             "platform": platform,
             "batch": B,
             "num_sims": sims,
             "env_steps_per_s": round(moves_total / dt, 1),
-            "net": f"conv{ch}x{depth}",
+            "net": f"{type(net).__name__}_{ch}x{depth}",
             "wall_s": round(dt, 2),
         },
     }

@@ -14,11 +14,12 @@ def tiny_cfg():
     cfg = Config(game=GameConfig(name="santorini",
                                  variant=dict(nb_gods=1, init_method=1)))
     cfg = cfg.replace(
-        mcts=dataclasses.replace(cfg.mcts, num_sims=8, ratio_full=4),
-        selfplay=dataclasses.replace(cfg.selfplay, batch_size=8),
-        train=dataclasses.replace(cfg.train, games_per_iter=4, epochs=1,
-                                  batch_size=32, arena_games=4),
-        net=dataclasses.replace(cfg.net, channels=16, depth=1),
+        mcts=dataclasses.replace(cfg.mcts, num_sims=4, ratio_full=4,
+                                 max_depth=4),
+        selfplay=dataclasses.replace(cfg.selfplay, batch_size=4),
+        train=dataclasses.replace(cfg.train, games_per_iter=2, epochs=1,
+                                  batch_size=16, arena_games=2),
+        net=dataclasses.replace(cfg.net, channels=8, depth=1),
     )
     return cfg
 
@@ -38,7 +39,7 @@ def test_apply_hp_types():
     cfg2 = _apply_hp(cfg, {"mcts.cpuct": 2.5, "train.learn_rate": 1e-3})
     assert cfg2.mcts.cpuct == 2.5
     assert cfg2.train.learn_rate == 1e-3
-    assert cfg2.mcts.num_sims == 8          # untouched fields preserved
+    assert cfg2.mcts.num_sims == 4          # untouched fields preserved
 
 
 def test_population_steps_and_exploit():
