@@ -175,6 +175,13 @@ def run_mcts(spec: GameSpec, eval_fn, root_states, key, budgets, noise_mask,
 # getActionProb tail, MCTS.py:93-103, + Coach.random_pick, Coach.py:278-292).
 # ---------------------------------------------------------------------------
 
+def clamp_to_valid(action, valids):
+    """Route degenerate selections (NaN policies, all-zero counts) to the
+    first valid action so a broken net can never emit an illegal move."""
+    ok = jnp.take_along_axis(valids, action[:, None], axis=1)[:, 0]
+    return jnp.where(ok, action, jnp.argmax(valids, axis=-1))
+
+
 def sample_action(key, counts, temp):
     """Sample ∝ counts**(1/temp); temp <= 0.02 => uniform over argmaxes."""
     logc = jnp.where(counts > 0, jnp.log(jnp.maximum(counts, 1e-30)), -jnp.inf)

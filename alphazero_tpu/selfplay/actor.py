@@ -28,7 +28,7 @@ from flax import struct
 
 from alphazero_tpu.config import MCTSConfig, SelfPlayConfig
 from alphazero_tpu.games.base import GameSpec
-from alphazero_tpu.search.mcts import mcts_search, sample_action
+from alphazero_tpu.search.mcts import (clamp_to_valid, mcts_search, sample_action)
 
 
 @struct.dataclass
@@ -133,7 +133,9 @@ def run_selfplay(spec: GameSpec, net, params, key, *, mc: MCTSConfig,
             temp = jnp.where(n > -hl, t1, t0)
         else:
             temp = t1 + (t0 - t1) * 0.5 ** (n / hl)
-        action = sample_action(k_act, out.counts, temp[:, None])
+        action = clamp_to_valid(
+            sample_action(k_act, out.counts, temp[:, None]),
+            out.root_valids)
 
         counts_sum = jnp.maximum(out.counts.sum(-1, keepdims=True), 1e-30)
         pi = out.counts / counts_sum

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from alphazero_tpu.config import MCTSConfig
 from alphazero_tpu.games.base import GameSpec
-from alphazero_tpu.search.mcts import argmax_action, mcts_search, temp_for_game
+from alphazero_tpu.search.mcts import (argmax_action, clamp_to_valid, mcts_search, temp_for_game)
 
 
 class ArenaResult(NamedTuple):
@@ -73,7 +73,8 @@ def play_matches(spec: GameSpec, net, params_a, params_b, key, *,
                           cfg=cfg, num_sims_max=cfg.num_sims, use_noise=False)
 
         temp = temp_for_game(temp_half_life, (t + 1).astype(jnp.float32))
-        action = argmax_action(k_act, out.counts, temp)
+        action = clamp_to_valid(argmax_action(k_act, out.counts, temp),
+                                out.root_valids)
 
         step_keys = jax.random.split(k_step, B)
         next_states, swap = jax.vmap(spec.step_canonical)(
@@ -146,7 +147,8 @@ def play_vs_random(spec: GameSpec, net, params, key, *, cfg: MCTSConfig,
                           & mcts_turn,
                           cfg=cfg, num_sims_max=cfg.num_sims, use_noise=False)
         temp = temp_for_game(temp_half_life, (t + 1).astype(jnp.float32))
-        a_mcts = argmax_action(k_act, out.counts, temp)
+        a_mcts = clamp_to_valid(argmax_action(k_act, out.counts, temp),
+                                out.root_valids)
         # random baseline: uniform over valid moves
         logits = jnp.where(out.root_valids, 0.0, -jnp.inf)
         a_rand = jax.random.categorical(k_rnd, logits, axis=-1)

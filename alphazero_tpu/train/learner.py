@@ -48,7 +48,11 @@ def make_lr_schedule(cfg: TrainConfig, total_steps: int):
 
 def make_optimizer(cfg: TrainConfig, total_steps: int):
     sched = make_lr_schedule(cfg, total_steps)
-    return optax.adamw(learning_rate=sched), sched
+    # global-norm clipping: unclipped AdamW at OneCycle peak measured NaN
+    # divergence on small replay buffers (all params NaN after a PBT trial)
+    opt = optax.chain(optax.clip_by_global_norm(10.0),
+                      optax.adamw(learning_rate=sched))
+    return opt, sched
 
 
 def init_train_state(params, cfg: TrainConfig, total_steps: int) -> TrainState:
