@@ -109,6 +109,11 @@ class Coach:
             episodes += int(stats.episodes_done)
             sims += int(stats.sims)
         dt = time.time() - t0
+        if self.replay.size == self.replay.capacity:
+            # reference warns when the example deque saturates
+            # (Coach.py:111-112,163-164)
+            log.warning("replay buffer saturated at %d examples — oldest "
+                        "iterations are being overwritten", self.replay.size)
         return dict(episodes=episodes, examples=examples, sims=sims,
                     seconds=dt, sims_per_s=sims / max(dt, 1e-9),
                     games_per_s=episodes / max(dt, 1e-9))
