@@ -126,9 +126,11 @@ def main(argv=None):
         if transferred:
             logging.info("knowledge transfer applied; first self-play skipped")
 
-    os.makedirs(cfg.checkpoint_dir, exist_ok=True)
-    with open(os.path.join(cfg.checkpoint_dir, "settings.json"), "w") as f:
-        f.write(cfg.to_json())
+    if jax.process_index() == 0:
+        os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+        with open(os.path.join(cfg.checkpoint_dir, "settings.json"),
+                  "w") as f:
+            f.write(cfg.to_json())
 
     if args.profile:
         from alphazero_tpu.utils.profiling import trace
@@ -137,8 +139,10 @@ def main(argv=None):
             coach.run_iteration()
         logging.info("profile trace written to %s", args.profile)
     history = coach.learn()
-    with open(os.path.join(cfg.checkpoint_dir, "history.json"), "w") as f:
-        json.dump(history, f, indent=2, default=str)
+    if jax.process_index() == 0:
+        with open(os.path.join(cfg.checkpoint_dir, "history.json"),
+                  "w") as f:
+            json.dump(history, f, indent=2, default=str)
     print(json.dumps(history[-1], default=str))
 
 

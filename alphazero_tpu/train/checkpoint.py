@@ -27,6 +27,10 @@ from alphazero_tpu.models import transfer_params
 
 def save_checkpoint(path: str, params, cfg: Config, *, opt_state=None,
                     meta: Optional[dict] = None):
+    # multi-host: params are replicated, so only process 0 writes — the
+    # others would race on the same files in shared storage
+    if jax.process_index() != 0:
+        return
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "params.msgpack"), "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(params)))

@@ -70,7 +70,7 @@ class Coach:
         from alphazero_tpu.utils.profiling import MetricsLogger
         self.metrics_log = MetricsLogger(
             os.path.join(cfg.checkpoint_dir, "metrics.jsonl")) \
-            if cfg.checkpoint_dir else None
+            if cfg.checkpoint_dir and jax.process_index() == 0 else None
         log.info("game=%s actions=%d params=%d", self.spec.name,
                  self.spec.num_actions, param_count(params))
 
@@ -214,7 +214,7 @@ class Coach:
         save_checkpoint(path, self.state.params, self.cfg,
                         opt_state=self.state.opt_state,
                         meta=dict(iteration=self.iteration))
-        if name == "best":
+        if name == "best" and jax.process_index() == 0:
             self.replay.save(os.path.join(self.cfg.checkpoint_dir,
                                           "replay.npz"))
 
