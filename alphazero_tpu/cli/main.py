@@ -38,18 +38,20 @@ def build_config(argv=None):
     p.add_argument("--ratio-fullMCTS", type=int, default=5)
     p.add_argument("--prob-fullMCTS", type=float, default=0.25)
     p.add_argument("--universes", "-u", type=int, default=1)
-    p.add_argument("--max-depth", type=int, default=0,
-                   help="tree descent depth cap (0 = unbounded/exact)")
+    p.add_argument("--max-depth", type=int, default=24,
+                   help="tree descent depth cap (0 = unbounded/exact); "
+                   "capped revisits back up the node's stored Q — the "
+                   "measured training recipe uses 24")
 
-    p.add_argument("--learn-rate", "-l", type=float, default=1e-3)
-    p.add_argument("--epochs", "-p", type=int, default=2)
+    p.add_argument("--learn-rate", "-l", type=float, default=2e-3)
+    p.add_argument("--epochs", "-p", type=int, default=4)
     p.add_argument("--batch-size", "-b", type=int, default=512)
     p.add_argument("--nn-version", "-V", type=int, default=1)
     p.add_argument("--channels", type=int, default=128)
     p.add_argument("--depth", type=int, default=6)
     p.add_argument("--q-weight", "-q", type=float, default=0.5)
     p.add_argument("--updateThreshold", type=float, default=0.60)
-    p.add_argument("--arenaCompare", type=int, default=64)
+    p.add_argument("--arenaCompare", type=int, default=30)
     p.add_argument("--stop-after-N-fail", "-s", type=int, default=25)
     p.add_argument("--selfplay-batch", "-P", type=int, default=256,
                    help="parallel self-play games (lockstep lanes)")

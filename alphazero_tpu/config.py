@@ -47,9 +47,11 @@ class SelfPlayConfig:
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     # reference recipe anneals 3e-3 -> 3e-4 over stages (README.md:157-163);
-    # 3e-4 alone leaves the value head unfit (measured corr(v,z) ~ 0)
-    learn_rate: float = 1e-3
-    epochs: int = 2
+    # 3e-4 alone leaves the value head unfit (measured corr(v,z) ~ 0).
+    # lr 2e-3 / epochs 4 / arena 30 is the measured working recipe on
+    # Santorini no-gods (ratchets 9 accepts / 14 iters from scratch)
+    learn_rate: float = 2e-3
+    epochs: int = 4
     batch_size: int = 512
     q_weight: float = 0.5          # value target = (Z + w*Q)/(1+w)
     value_loss_weight: float = 0.25
@@ -58,7 +60,9 @@ class TrainConfig:
     num_iters_history: int = 5     # --numItersHistory
     games_per_iter: int = 2048     # --numEps analog (games per iteration)
     update_threshold: float = 0.60
-    arena_games: int = 64          # reference hardcodes 30 (main.py:159)
+    # reference hardcodes 30 (main.py:159); larger gates at 0.60 threshold
+    # almost never accept early nets (binomial tail) and stall the ratchet
+    arena_games: int = 30
     stop_after_n_fail: int = 25
     symmetry_augment: bool = True  # random symmetry per training sample
 
