@@ -110,12 +110,15 @@ def puct_action(tree: Tree, node, cpuct: float, fpu: float,
     u_vis = Qsa + cpuct * P * jnp.sqrt(Ns) / (1 + Nsa).astype(qdt)
     u = jnp.where(Nsa > 0, u_vis, u_unvis)
     u = jnp.where(V, u, -jnp.inf)
-    best = jnp.argmax(u)
+    best = jnp.argmax(u).astype(jnp.int32)
 
     # forced playout: first valid action with Nsa < floor(sqrt(k*P*sim_idx))
     thr = jnp.floor(jnp.sqrt(FORCED_K * P * sim_idx.astype(qdt))).astype(jnp.int32)
     forced_mask = V & (Nsa < thr) & forced_now
-    return jnp.where(jnp.any(forced_mask), jnp.argmax(forced_mask), best)
+    # explicit int32: under jax_enable_x64 argmax yields int64, which would
+    # warn (soon error) when scattered into the int32 path buffers
+    return jnp.where(jnp.any(forced_mask),
+                     jnp.argmax(forced_mask).astype(jnp.int32), best)
 
 
 def select_leaf(tree: Tree, cpuct: float, fpu: float, allow_forced,
