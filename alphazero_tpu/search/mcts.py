@@ -23,8 +23,8 @@ import jax.numpy as jnp
 from alphazero_tpu.config import MCTSConfig, MAGIC_SEEDS
 from alphazero_tpu.games.base import GameSpec
 from alphazero_tpu.search.tree import (
-    FORCED_K, Tree, backup_path, empty_tree, expand_node, init_root,
-    select_leaf_path)
+    FORCED_K, Tree, backup_dense, dense_best_action, expand_batch, init_root,
+    make_tree, walk_path)
 
 # eval_fn(eval_args, obs (B,...), valids (B,A)) -> (prior (B,A) normalized,
 # value (B,P)).  eval_args is an arbitrary traced pytree (params, or
@@ -92,10 +92,8 @@ def mcts_search(spec: GameSpec, eval_fn: EvalFn, eval_args,
         p = p / jnp.maximum(jnp.sum(p, -1, keepdims=True), 1e-30)
         prior0 = jnp.where(noise_mask[:, None], p, prior0)
 
-    trees = jax.vmap(lambda: empty_tree(spec, num_sims_max + 1, qdt, pdt),
-                     axis_size=B)()
-    trees = jax.vmap(init_root)(trees, root_states, root_valids,
-                                prior0, v0[:, 0])
+    trees = make_tree(spec, B, num_sims_max + 1, qdt, pdt)
+    trees = init_root(trees, root_states, root_valids, prior0, v0[:, 0])
 
     magic = jnp.asarray(MAGIC_SEEDS, jnp.int32)
 
@@ -110,27 +108,23 @@ def mcts_search(spec: GameSpec, eval_fn: EvalFn, eval_args,
             seed = jnp.int32(-1)
         seeds = jnp.full((B,), seed, jnp.int32)
 
-        max_d = cfg.max_depth if cfg.max_depth > 0 else num_sims_max + 1
-        parent, action, existing, p_nodes, p_acts, depth = jax.vmap(
-            lambda t, f: select_leaf_path(t, cfg.cpuct, cfg.fpu, f, sim_idx,
-                                          max_depth=max_d,
-                                          depth_cap=cfg.max_depth)
-        )(trees, forced_mask)
+        best = dense_best_action(trees, cfg.cpuct, cfg.fpu, forced_mask,
+                                 sim_idx)
+        walk = walk_path(trees, best, depth_cap=cfg.max_depth)
 
-        parent_states = trees.states[jnp.arange(B), parent]
+        parent_states = trees.states[jnp.arange(B), walk.parent]
         step_keys = jax.random.split(skey, B)
         child_state, child_swap = jax.vmap(spec.step_canonical)(
-            parent_states, action, step_keys, seeds)
+            parent_states, walk.action, step_keys, seeds)
         child_valids = jax.vmap(spec.valids)(child_state)
         child_term = jax.vmap(spec.terminal)(child_state)
         child_prior, child_value = eval_fn(
             eval_args, jax.vmap(spec.observe)(child_state), child_valids)
 
-        trees, leaf, v_leaf = jax.vmap(expand_node)(
-            trees, parent, action, existing, child_state, child_swap,
-            child_valids, child_prior, child_value, child_term, active)
-        trees = jax.vmap(backup_path)(trees, p_nodes, p_acts, depth, leaf,
-                                      v_leaf, active)
+        trees, leaf, v_leaf, leaf_swap = expand_batch(
+            trees, walk, child_state, child_swap, child_valids, child_prior,
+            child_value, child_term, active)
+        trees = backup_dense(trees, walk, best, v_leaf, leaf_swap, active)
         return trees, None
 
     trees, _ = jax.lax.scan(one_sim, trees,
@@ -145,7 +139,9 @@ def mcts_search(spec: GameSpec, eval_fn: EvalFn, eval_args,
         [q0[:, None], jnp.tile((-q0 / (P - 1))[:, None], (1, P - 1))], axis=1)
 
     # policy target pruning (KataGo; MCTS.py:75-80)
+    # (tree prior uses -1 as the invalid sentinel; strip it for output)
     root_prior = trees.prior[:, 0].astype(jnp.float32)
+    root_prior = jnp.where(root_prior >= 0, root_prior, 0.0)
     best = jnp.max(counts, axis=-1, keepdims=True)
     sub = jnp.floor(jnp.sqrt(
         FORCED_K * root_prior * budgets[:, None].astype(jnp.float32)))

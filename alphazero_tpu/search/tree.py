@@ -1,19 +1,36 @@
-"""Fixed-size array search trees for batched on-device MCTS.
+"""Fixed-size array search trees for batched on-device MCTS — dense edition.
 
 The reference stores one dict entry per state keyed by board bytes
 (/root/reference/MCTS.py:39-47,125-126).  On TPU that becomes a preallocated
-node arena per tree: ``num_sims`` simulations expand at most ``num_sims``
-nodes, so every array has a static leading node dimension and thousands of
-trees run in lockstep under ``vmap``.
+node arena per tree with a static node dimension: ``num_sims`` simulations
+expand at most ``num_sims`` nodes.
+
+Design driver (measured on the target TPU): batched gathers/scatters lower to
+full passes over their operand, so cost ≈ number-of-big-array passes, almost
+independent of how few items are touched.  The per-simulation pipeline is
+therefore organized around a fixed, depth-independent number of dense passes:
+
+1. ``dense_best_action``: ONE fused pass over (B, N, A) computes the PUCT
+   argmax for EVERY node (exact — node statistics are frozen during a single
+   descent, so precomputing all decisions equals walking them sequentially).
+2. ``walk_path``: the root-to-leaf walk then touches only tiny (B, N) pointer
+   maps (~µs per level), recording a dense on-path mask and swap prefix sums.
+3. ``expand_batch``: one prior-row pass + small scalar writes.  nsa/qsa/
+   n_visit rows never need initialization (arenas are pre-zeroed and nodes
+   are written once), and valids are encoded in the prior sign (invalid = -1)
+   so no separate valid array exists.
+4. ``backup_dense``: ONE blended read-modify-write pass over (B, N, A)
+   updates every on-path edge simultaneously (the reference's leaf-to-root
+   recursion unwind, MCTS.py:175-183, applied as a mask).
 
 Divergence from the reference (documented, see SURVEY.md §7 "hard parts"):
-nodes are tree-shaped (parent pointers), not a transposition table — two
-paths reaching the same state create two nodes.
+nodes are tree-shaped, not a transposition table — two paths reaching the
+same state create two nodes.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,250 +45,275 @@ FORCED_K = 0.5
 
 @struct.dataclass
 class Tree:
-    """One search tree (no leading batch dim; callers vmap).
+    """B search trees in lockstep (leading batch dim on every array).
 
-    Node 0 is the root.  ``children[n, a] == -1`` means edge (n, a) has not
-    been expanded.  Value vectors are per-player in each node's own canonical
-    frame (index 0 = player to move at that node).
+    Node 0 is the root.  ``children[b, n, a] == -1`` means edge (n, a) is
+    unexpanded.  ``prior`` doubles as the valid mask: invalid actions hold
+    the sentinel -1 (any negative), valid ones the NN prior (>= 0).  Value
+    vectors are per-player in each node's own canonical frame (index 0 =
+    player to move at that node).
     """
 
-    states: jax.Array         # (N, *state_shape) int8
-    prior: jax.Array          # (N, A) prior_dtype — NN policy (root: + noise)
-    valid: jax.Array          # (N, A) bool
-    term_val: jax.Array       # (N, P) float32 — terminal result vector
-    is_term: jax.Array        # (N,) bool
-    n_visit: jax.Array        # (N,) int32 — Ns
-    nsa: jax.Array            # (N, A) int32
-    qsa: jax.Array            # (N, A) q_dtype
-    qs: jax.Array             # (N,) q_dtype — running node value
-    children: jax.Array       # (N, A) int32
-    parent: jax.Array         # (N,) int32
-    parent_action: jax.Array  # (N,) int32
-    swap: jax.Array           # (N,) int32 — player shift parent -> this node
-    next_free: jax.Array      # () int32
+    states: jax.Array     # (B, N, *state_shape) int8
+    prior: jax.Array      # (B, N, A) prior_dtype; invalid = -1
+    nsa: jax.Array        # (B, N, A) count_dtype
+    qsa: jax.Array        # (B, N, A) q_dtype
+    children: jax.Array   # (B, N, A) child_dtype; -1 = unexpanded
+    qs: jax.Array         # (B, N) q_dtype — running node value
+    n_visit: jax.Array    # (B, N) count_dtype — Ns
+    swap: jax.Array       # (B, N) int8 — player shift parent -> node
+    is_term: jax.Array    # (B, N) bool
+    term_val: jax.Array   # (B, N, P) float32 — terminal result vectors
+    next_free: jax.Array  # (B,) int32
 
 
-def empty_tree(spec: GameSpec, num_nodes: int, q_dtype=jnp.float32,
-               prior_dtype=jnp.float32) -> Tree:
-    N, A, P = num_nodes, spec.num_actions, spec.num_players
+def count_dtype_for(num_sims: int):
+    """Smallest count dtype: visit counts are bounded by the sim budget."""
+    return jnp.uint8 if num_sims < 255 else jnp.int32
+
+
+def child_dtype_for(num_nodes: int):
+    """Smallest child-index dtype (-1 sentinel needs a signed type)."""
+    if num_nodes <= 127:
+        return jnp.int8
+    if num_nodes <= 32767:
+        return jnp.int16
+    return jnp.int32
+
+
+def make_tree(spec: GameSpec, batch: int, num_nodes: int,
+              q_dtype=jnp.float32, prior_dtype=jnp.float32) -> Tree:
+    B, N, A, P = batch, num_nodes, spec.num_actions, spec.num_players
+    cdt = count_dtype_for(num_nodes)
+    kdt = child_dtype_for(num_nodes)
     return Tree(
-        states=jnp.zeros((N, *spec.state_shape), jnp.int8),
-        prior=jnp.zeros((N, A), prior_dtype),
-        valid=jnp.zeros((N, A), bool),
-        term_val=jnp.zeros((N, P), jnp.float32),
-        is_term=jnp.zeros((N,), bool),
-        n_visit=jnp.zeros((N,), jnp.int32),
-        nsa=jnp.zeros((N, A), jnp.int32),
-        qsa=jnp.zeros((N, A), q_dtype),
-        qs=jnp.zeros((N,), q_dtype),
-        children=jnp.full((N, A), -1, jnp.int32),
-        parent=jnp.zeros((N,), jnp.int32),
-        parent_action=jnp.zeros((N,), jnp.int32),
-        swap=jnp.zeros((N,), jnp.int32),
-        next_free=jnp.int32(1),
+        states=jnp.zeros((B, N, *spec.state_shape), jnp.int8),
+        prior=jnp.full((B, N, A), -1, prior_dtype),
+        nsa=jnp.zeros((B, N, A), cdt),
+        qsa=jnp.zeros((B, N, A), q_dtype),
+        children=jnp.full((B, N, A), -1, kdt),
+        qs=jnp.zeros((B, N), q_dtype),
+        n_visit=jnp.zeros((B, N), cdt),
+        swap=jnp.zeros((B, N), jnp.int8),
+        is_term=jnp.zeros((B, N), bool),
+        term_val=jnp.zeros((B, N, P), jnp.float32),
+        next_free=jnp.ones((B,), jnp.int32),
     )
 
 
-def init_root(tree: Tree, state, valids, prior, value0) -> Tree:
-    """Install the root node (the reference's first search() call — the
+def init_root(tree: Tree, states, valids, prior, value0) -> Tree:
+    """Install root nodes (the reference's first search() call — the
     Ps-is-None expansion branch, /root/reference/MCTS.py:140-154)."""
+    pr = jnp.where(valids, prior.astype(tree.prior.dtype),
+                   jnp.asarray(-1, tree.prior.dtype))
     return tree.replace(
-        states=tree.states.at[0].set(state),
-        prior=tree.prior.at[0].set(prior.astype(tree.prior.dtype)),
-        valid=tree.valid.at[0].set(valids),
-        qs=tree.qs.at[0].set(value0.astype(tree.qs.dtype)),
-        next_free=jnp.int32(1),
+        states=tree.states.at[:, 0].set(states),
+        prior=tree.prior.at[:, 0].set(pr),
+        qs=tree.qs.at[:, 0].set(value0.astype(tree.qs.dtype)),
     )
 
 
-def puct_action(tree: Tree, node, cpuct: float, fpu: float,
-                forced_now, sim_idx) -> jax.Array:
-    """Action selection — reference pick_highest_UCB
-    (/root/reference/MCTS.py:210-230) vectorized over actions.
+def dense_best_action(tree: Tree, cpuct: float, fpu: float, forced_root,
+                      sim_idx) -> jax.Array:
+    """PUCT action selection for ALL nodes in one fused pass — the reference
+    pick_highest_UCB (/root/reference/MCTS.py:210-230) vectorized over the
+    whole arena.  Exact: during one descent no statistic changes, so the
+    per-node argmax equals what a sequential walk would pick at each level.
 
-    forced_now: traced bool — forced playouts active for this node this sim
-    (the reference applies them only at the root: search() recurses with
-    forced_playouts=False, MCTS.py:175).
+    forced_root: (B,) bool — forced playouts, applied at the root row only
+    (the reference recurses with forced_playouts=False, MCTS.py:175).
+    Returns best (B, N) int32.
     """
     qdt = tree.qs.dtype
-    P = tree.prior[node].astype(qdt)
-    V = tree.valid[node]
-    Nsa = tree.nsa[node]
-    Qsa = tree.qsa[node]
-    Ns = tree.n_visit[node].astype(qdt)
-    Qs = tree.qs[node]
+    valid = tree.prior >= 0
+    P = jnp.where(valid, tree.prior, 0).astype(qdt)
+    Nsa = tree.nsa.astype(qdt)
+    Ns = tree.n_visit.astype(qdt)[..., None]
+    Qs = tree.qs[..., None]
 
     if fpu > 0:          # parent-relative FPU (static config branch)
         fpu_init = Qs - qdt.type(fpu)
     else:                # absolute FPU
-        fpu_init = qdt.type(fpu)
+        fpu_init = jnp.full_like(Qs, qdt.type(fpu))
 
     u_unvis = fpu_init + cpuct * P * jnp.sqrt(Ns + EPS)
-    u_vis = Qsa + cpuct * P * jnp.sqrt(Ns) / (1 + Nsa).astype(qdt)
-    u = jnp.where(Nsa > 0, u_vis, u_unvis)
-    u = jnp.where(V, u, -jnp.inf)
-    best = jnp.argmax(u).astype(jnp.int32)
+    u_vis = tree.qsa + cpuct * P * jnp.sqrt(Ns) / (1 + Nsa)
+    u = jnp.where(tree.nsa > 0, u_vis, u_unvis)
+    u = jnp.where(valid, u, -jnp.inf)
+    best = jnp.argmax(u, axis=-1).astype(jnp.int32)          # (B, N)
 
-    # forced playout: first valid action with Nsa < floor(sqrt(k*P*sim_idx))
-    thr = jnp.floor(jnp.sqrt(FORCED_K * P * sim_idx.astype(qdt))).astype(jnp.int32)
-    forced_mask = V & (Nsa < thr) & forced_now
-    # explicit int32: under jax_enable_x64 argmax yields int64, which would
-    # warn (soon error) when scattered into the int32 path buffers
-    return jnp.where(jnp.any(forced_mask),
-                     jnp.argmax(forced_mask).astype(jnp.int32), best)
+    # forced playout at the root: first valid action with
+    # Nsa < floor(sqrt(k * P * sim_idx))
+    p0 = P[:, 0]
+    thr = jnp.floor(jnp.sqrt(FORCED_K * p0 * sim_idx.astype(qdt)))
+    fmask = valid[:, 0] & (Nsa[:, 0] < thr) & forced_root[:, None]
+    root_forced = jnp.argmax(fmask, axis=-1).astype(jnp.int32)
+    root_best = jnp.where(jnp.any(fmask, axis=-1), root_forced, best[:, 0])
+    return best.at[:, 0].set(root_best)
 
 
-def select_leaf(tree: Tree, cpuct: float, fpu: float, allow_forced,
-                sim_idx) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Walk from the root to an unexpanded edge or a terminal node.
+class WalkOut(NamedTuple):
+    parent: jax.Array      # (B,) int32 — node whose edge was selected
+    action: jax.Array      # (B,) int32
+    existing: jax.Array    # (B,) int32 — >=0 iff walk stopped on an existing
+    #                        (terminal or depth-capped) child
+    depth: jax.Array       # (B,) int32 — number of edges on the path
+    onpath: jax.Array      # (B, N) bool — nodes on the root-to-parent path
+    scum: jax.Array        # (B, N) int32 — swap prefix sum root->node
+    #                        (valid where onpath)
+    psum: jax.Array        # (B,) int32 — swap prefix sum at parent
 
-    Returns (parent, action, existing_child) where existing_child >= 0 iff
-    the walk stopped at an already-expanded terminal child (no new node).
+
+def walk_path(tree: Tree, best, depth_cap: int = 0) -> WalkOut:
+    """Follow the precomputed best actions from the root, on tiny (B, N)
+    maps.  Stops at an unexpanded edge, a terminal child, or the depth cap.
+
+    depth_cap > 0 limits descent depth (perf/behavior knob; a cap-stopped
+    walk ends on an existing child, whose stored Q is then backed up by
+    expand semantics — see expand_batch).
     """
-    parent, action, existing, _, _, _ = select_leaf_path(
-        tree, cpuct, fpu, allow_forced, sim_idx, max_depth=1)
-    return parent, action, existing
+    B, N, A = tree.prior.shape
+    cap = depth_cap if depth_cap > 0 else 0x7FFFFFF0
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
 
+    # one children pass: next node per (b, n) along the best action
+    nxt = jnp.take_along_axis(
+        tree.children, best[..., None].astype(jnp.int32), axis=2
+    )[..., 0].astype(jnp.int32)                               # (B, N)
 
-def select_leaf_path(tree: Tree, cpuct: float, fpu: float, allow_forced,
-                     sim_idx, max_depth: int, depth_cap: int = 0):
-    """select_leaf that also records the root-to-leaf path.
+    def at_node(m, idx):
+        return jnp.take_along_axis(m, idx[:, None], axis=1)[:, 0]
 
-    Returns (parent, action, existing_child, path_nodes (D,), path_actions
-    (D,), depth).  path_nodes[d] / path_actions[d] describe edge d; depth is
-    the number of edges.  The loop carry holds only scalars and the two (D,)
-    buffers, so the batched (vmapped) while_loop's per-iteration select cost
-    is O(B*D) — NOT O(B*N*A) as it would be if the visit-count arrays were
-    carried (that was measured to dominate self-play wall time).
-
-    depth_cap > 0 additionally stops the walk after depth_cap edges (perf
-    knob: the batched while_loop runs max-lane-depth iterations per sim, so
-    uncapped descent cost grows quadratically in the sim budget).  A
-    cap-stopped walk ends on an existing child; expand_node then backs up
-    that node's stored value instead of expanding.
-    """
-    D = max_depth
-    cap = depth_cap if depth_cap > 0 else D + 1
-
-    def pick(node):
-        return puct_action(tree, node, cpuct, fpu,
-                           allow_forced & (node == 0), sim_idx)
+    def can_go(ch, depth):
+        return ((ch >= 0) & ~at_node(tree.is_term, jnp.maximum(ch, 0))
+                & (depth < cap))
 
     def cond_fn(c):
-        _, _, ch, depth, _, _ = c
-        return (ch >= 0) & ~tree.is_term[jnp.maximum(ch, 0)] & (depth < cap)
+        cur, a, ch, depth, rs, onpath, scum = c
+        return jnp.any(can_go(ch, depth))
 
     def body_fn(c):
-        _, _, ch, depth, nodes, acts = c
-        cur = ch
-        a = pick(cur)
-        nodes = nodes.at[jnp.minimum(depth, D - 1)].set(cur)
-        acts = acts.at[jnp.minimum(depth, D - 1)].set(a)
-        return cur, a, tree.children[cur, a], depth + 1, nodes, acts
+        cur, a, ch, depth, rs, onpath, scum = c
+        go = can_go(ch, depth)
+        nc = jnp.where(go, jnp.maximum(ch, 0), cur)
+        rs = rs + jnp.where(
+            go, at_node(tree.swap, nc).astype(jnp.int32), 0)
+        hit = go[:, None] & (iota == nc[:, None])
+        onpath = onpath | hit
+        scum = jnp.where(hit, rs[:, None], scum)
+        na = jnp.where(go, at_node(best, nc), a)
+        nch = jnp.where(go, at_node(nxt, nc), ch)
+        return (nc, na, nch, depth + go.astype(jnp.int32), rs, onpath, scum)
 
-    a0 = pick(jnp.int32(0))
-    nodes0 = jnp.zeros((D,), jnp.int32)
-    acts0 = jnp.zeros((D,), jnp.int32).at[0].set(a0)
-    cur, a, ch, depth, nodes, acts = jax.lax.while_loop(
+    cur0 = jnp.zeros((B,), jnp.int32)
+    a0 = best[:, 0]
+    ch0 = nxt[:, 0]
+    onpath0 = iota == 0
+    scum0 = jnp.zeros((B, N), jnp.int32)
+    cur, a, ch, depth, rs, onpath, scum = jax.lax.while_loop(
         cond_fn, body_fn,
-        (jnp.int32(0), a0, tree.children[0, a0], jnp.int32(1), nodes0, acts0))
-    return cur, a, ch, nodes, acts, depth
+        (cur0, a0, ch0, jnp.ones((B,), jnp.int32), cur0, onpath0, scum0))
+    return WalkOut(parent=cur, action=a, existing=ch, depth=depth,
+                   onpath=onpath, scum=scum, psum=rs)
 
 
-def expand_node(tree: Tree, parent, action, existing_child, child_state,
-                child_swap, child_valids, child_prior, child_value,
-                child_term, active) -> Tuple[Tree, jax.Array, jax.Array]:
-    """Install a new leaf node if the selected edge was unexpanded.
+def expand_batch(tree: Tree, walk: WalkOut, child_state, child_swap,
+                 child_valids, child_prior, child_value, child_term,
+                 active) -> Tuple[Tree, jax.Array, jax.Array, jax.Array]:
+    """Install new leaf nodes where the selected edge was unexpanded.
 
-    Returns (tree, leaf_node, v_leaf) where v_leaf is the value vector to
-    back up, in the leaf's own canonical frame (the NN value for new interior
-    leaves, the stored/new terminal vector for terminal leaves — reference
-    MCTS.py:130-154).
+    Returns (tree, leaf, v_leaf, leaf_swap): v_leaf is the value vector to
+    back up in the leaf's own canonical frame (NN value for new interior
+    leaves, terminal vector for terminal leaves, stored-Q expansion for
+    depth-capped revisits — reference MCTS.py:130-154), leaf_swap the player
+    shift of the leaf relative to its parent.
+
+    nsa/qsa/n_visit rows of new nodes need no writes: arenas are pre-zeroed
+    and node slots are written exactly once.
     """
-    is_new = existing_child < 0
-    child_is_term = jnp.any(child_term != 0)
+    B = walk.parent.shape[0]
+    Np = tree.term_val.shape[2]
+    bidx = jnp.arange(B)
+    is_new = walk.existing < 0
+    child_is_term = jnp.any(child_term != 0, axis=-1)
     new_idx = tree.next_free
-    leaf = jnp.where(is_new, new_idx, existing_child)
+    leaf = jnp.where(is_new, new_idx, walk.existing)
 
-    old = jnp.maximum(existing_child, 0)
-    stored_term = tree.term_val[old]
+    old = jnp.maximum(walk.existing, 0)
+    stored_term = tree.term_val[bidx, old]
     # cap-stopped interior revisit: expand the stored scalar Q per player
-    P = tree.term_val.shape[1]
-    q_old = tree.qs[old].astype(jnp.float32)
+    q_old = tree.qs[bidx, old].astype(jnp.float32)
     stored_q = jnp.concatenate(
-        [q_old[None], jnp.tile(-q_old[None] / (P - 1), (P - 1,))])
-    stored_v = jnp.where(tree.is_term[old], stored_term, stored_q)
-    v_leaf = jnp.where(is_new,
-                       jnp.where(child_is_term, child_term, child_value),
+        [q_old[:, None], jnp.tile(-q_old[:, None] / (Np - 1), (1, Np - 1))],
+        axis=1)
+    stored_v = jnp.where(tree.is_term[bidx, old][:, None], stored_term,
+                         stored_q)
+    v_leaf = jnp.where(is_new[:, None],
+                       jnp.where(child_is_term[:, None], child_term,
+                                 child_value),
                        stored_v)
+    leaf_swap = jnp.where(is_new, child_swap,
+                          tree.swap[bidx, old].astype(child_swap.dtype))
 
     wmask = active & is_new
 
-    def mset(arr, idx, val):
+    def row(arr, val):
         val = jnp.asarray(val, arr.dtype)
-        return arr.at[idx].set(jnp.where(wmask, val, arr[idx]))
+        old_row = arr[bidx, new_idx]
+        shape = (B,) + (1,) * (old_row.ndim - 1)
+        return arr.at[bidx, new_idx].set(
+            jnp.where(wmask.reshape(shape), val, old_row))
 
+    pr = jnp.where(child_valids, child_prior.astype(tree.prior.dtype),
+                   jnp.asarray(-1, tree.prior.dtype))
     tree = tree.replace(
-        states=mset(tree.states, new_idx, child_state),
-        prior=mset(tree.prior, new_idx, child_prior),
-        valid=mset(tree.valid, new_idx, child_valids),
-        term_val=mset(tree.term_val, new_idx, child_term),
-        is_term=mset(tree.is_term, new_idx, child_is_term),
-        qs=mset(tree.qs, new_idx, v_leaf[0]),
-        parent=mset(tree.parent, new_idx, parent),
-        parent_action=mset(tree.parent_action, new_idx, action),
-        swap=mset(tree.swap, new_idx, child_swap),
-        children=tree.children.at[parent, action].set(
-            jnp.where(wmask, new_idx, tree.children[parent, action])),
-        next_free=tree.next_free + jnp.where(wmask, 1, 0),
+        states=row(tree.states, child_state),
+        prior=row(tree.prior, pr),
+        qs=row(tree.qs, v_leaf[:, 0]),
+        swap=row(tree.swap, child_swap),
+        is_term=row(tree.is_term, child_is_term),
+        term_val=row(tree.term_val, child_term),
+        children=tree.children.at[bidx, walk.parent, walk.action].set(
+            jnp.where(wmask, new_idx.astype(tree.children.dtype),
+                      tree.children[bidx, walk.parent, walk.action])),
+        next_free=tree.next_free + wmask.astype(jnp.int32),
     )
-    return tree, leaf, v_leaf
+    return tree, leaf, v_leaf, leaf_swap
 
 
-def backup_path(tree: Tree, path_nodes, path_actions, depth, leaf,
-                v_leaf, active) -> Tree:
-    """Back a leaf value up the recorded path with ONE batched gather/scatter
-    round — no loop.
+def backup_dense(tree: Tree, walk: WalkOut, best, v_leaf, leaf_swap,
+                 active) -> Tree:
+    """Back the leaf value up every on-path edge in one blended pass.
 
-    Reference recurrence (MCTS.py:175-183):
-        v_parent = np.roll(v_child, swap_child)
-        Qsa[a]   = (Nsa*Qsa + v0) / (Nsa+1)
-        Qs       = ((Ns+1)*Qs + v0) / (Ns+2)
-        Nsa += 1 ; Ns += 1
-    Path nodes are distinct (it's a tree), so all updates are conflict-free
-    and can be applied in one scatter per array.  Rolls compose (roll(roll(v,
-    a), b) == roll(v, a+b)), so the value seen at edge d is
-    v_leaf[(-S_d) mod P] with S_d the suffix-sum of child swaps.
-    Inactive/overflow edges are routed out of bounds and dropped.
+    Reference recurrence (MCTS.py:175-183) for the edge out of path node n:
+        v0(n) = roll(v_leaf, suffix_swap(n))[0]
+        Qsa[n, a] = (Nsa*Qsa + v0) / (Nsa+1) ;  Nsa += 1
+        Qs[n]     = ((Ns+1)*Qs + v0) / (Ns+2) ;  Ns  += 1
+    where suffix_swap(n) = (psum - scum[n]) + leaf_swap (swap prefix sums
+    recorded by walk_path; rolls compose).  The action out of every path
+    node IS best[n] (the walk followed best), so the edge mask is dense.
     """
     qdt = tree.qs.dtype
-    P = v_leaf.shape[0]
-    D = path_nodes.shape[0]
-    d_idx = jnp.arange(D)
-    valid_edge = (d_idx < depth) & active
+    B, N, A = tree.prior.shape
+    Np = v_leaf.shape[1]
 
-    # child of edge d: next path node, except the leaf for the last edge
-    child_nodes = jnp.where(d_idx < depth - 1,
-                            jnp.roll(path_nodes, -1), leaf)
-    sw = jnp.where(valid_edge, tree.swap[child_nodes], 0)
-    suffix = jnp.cumsum(sw[::-1])[::-1]                     # S_d
-    v0 = v_leaf.astype(qdt)[(-suffix) % P]                  # (D,)
+    on = walk.onpath & active[:, None]                        # (B, N)
+    suffix = (walk.psum[:, None] - walk.scum
+              + leaf_swap.astype(jnp.int32)[:, None])         # (B, N)
+    # v0 per node: v_leaf rolled by suffix, component 0 => index (-suffix)%P
+    idx = (-suffix) % Np
+    v0 = jnp.take_along_axis(v_leaf.astype(qdt), idx, axis=1)  # (B, N)
 
-    # out-of-bounds => dropped by scatter mode below
-    N = tree.n_visit.shape[0]
-    nodes = jnp.where(valid_edge, path_nodes, N)
-    acts = path_actions
+    iota_a = jax.lax.broadcasted_iota(jnp.int32, (B, N, A), 2)
+    sel = on[..., None] & (iota_a == best[..., None])
+    nf = tree.nsa.astype(qdt)
+    q_new = (nf * tree.qsa + v0[..., None]) / (nf + 1)
+    qsa = jnp.where(sel, q_new, tree.qsa)
+    nsa = tree.nsa + sel.astype(tree.nsa.dtype)
 
-    n_old = tree.nsa[jnp.minimum(nodes, N - 1), acts]
-    q_old = tree.qsa[jnp.minimum(nodes, N - 1), acts]
-    q_new = (n_old.astype(qdt) * q_old + v0) / (n_old + 1).astype(qdt)
-    ns_old = tree.n_visit[jnp.minimum(nodes, N - 1)].astype(qdt)
-    qs_old = tree.qs[jnp.minimum(nodes, N - 1)]
-    qs_new = ((ns_old + 1) * qs_old + v0) / (ns_old + 2)
+    ns = tree.n_visit.astype(qdt)
+    qs_new = ((ns + 1) * tree.qs + v0) / (ns + 2)
+    qs = jnp.where(on, qs_new, tree.qs)
+    n_visit = tree.n_visit + on.astype(tree.n_visit.dtype)
 
-    return tree.replace(
-        qsa=tree.qsa.at[nodes, acts].set(q_new, mode="drop"),
-        nsa=tree.nsa.at[nodes, acts].add(1, mode="drop"),
-        qs=tree.qs.at[nodes].set(qs_new, mode="drop"),
-        n_visit=tree.n_visit.at[nodes].add(1, mode="drop"),
-    )
+    return tree.replace(qsa=qsa, nsa=nsa, qs=qs, n_visit=n_visit)

@@ -69,13 +69,20 @@ class ReplayBuffer:
     # --- persistence (reference saveTrainExamples/loadTrainExamples,
     # Coach.py:220-262) ------------------------------------------------------
 
-    def save(self, path: str):
+    def save(self, path: str, compress: bool = False):
+        """Persist the buffer.  Written atomically (tmp + rename) so a crash
+        mid-write never corrupts the previous snapshot; uncompressed by
+        default because this now runs EVERY iteration (crash durability,
+        reference Coach.py:167-184) and int8/f16 arrays compress poorly
+        relative to the write-time cost."""
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        np.savez_compressed(
-            path, state=self.state[:self.size], pi=self.pi[:self.size],
-            z=self.z[:self.size], q=self.q[:self.size],
-            valids=self.valids[:self.size],
-            meta=np.array([self.head, self.size, self.total_added]))
+        tmp = path + ".tmp.npz"
+        saver = np.savez_compressed if compress else np.savez
+        saver(tmp, state=self.state[:self.size], pi=self.pi[:self.size],
+              z=self.z[:self.size], q=self.q[:self.size],
+              valids=self.valids[:self.size],
+              meta=np.array([self.head, self.size, self.total_added]))
+        os.replace(tmp, path if path.endswith(".npz") else path + ".npz")
 
     def load(self, path: str):
         d = np.load(path)

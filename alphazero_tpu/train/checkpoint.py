@@ -25,8 +25,11 @@ from alphazero_tpu.config import Config
 from alphazero_tpu.models import transfer_params
 
 
-def save_checkpoint(path: str, params, cfg: Config, *, opt_state=None,
+def save_checkpoint(path: str, params, cfg: Config, *,
                     meta: Optional[dict] = None):
+    """Optimizer state is intentionally not checkpointed: the training loop
+    rebuilds AdamW+OneCycle from scratch every iteration (reference
+    GenericNNetWrapper.py:49-51), so there is no consumer for it."""
     # multi-host: params are replicated, so only process 0 writes — the
     # others would race on the same files in shared storage
     if jax.process_index() != 0:
@@ -34,9 +37,6 @@ def save_checkpoint(path: str, params, cfg: Config, *, opt_state=None,
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "params.msgpack"), "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(params)))
-    if opt_state is not None:
-        with open(os.path.join(path, "opt_state.msgpack"), "wb") as f:
-            f.write(serialization.to_bytes(jax.device_get(opt_state)))
     with open(os.path.join(path, "config.json"), "w") as f:
         f.write(cfg.to_json())
     with open(os.path.join(path, "meta.json"), "w") as f:
@@ -79,17 +79,6 @@ def load_checkpoint(path: str, params_template) -> Tuple[Any, Config, dict,
         raw = serialization.msgpack_restore(blob)
         params, copied = transfer_params(raw, params_template)
         return params, cfg, meta, True
-
-
-def load_opt_state(path: str, opt_state_template):
-    p = os.path.join(path, "opt_state.msgpack")
-    if not os.path.exists(p):
-        return None
-    with open(p, "rb") as f:
-        try:
-            return serialization.from_bytes(opt_state_template, f.read())
-        except (ValueError, KeyError):
-            return None
 
 
 def checkpoint_name(iteration: int) -> str:

@@ -196,6 +196,21 @@ class Coach:
         self.history.append(metrics)
         if self.metrics_log is not None:
             self.metrics_log.log(metrics)
+        # crash durability: persist replay + loop state every iteration,
+        # AFTER the gate so a resume sees the post-gate failure count
+        # (reference saves its example history each iteration,
+        # /root/reference/Coach.py:167-184)
+        if jax.process_index() == 0 and self.cfg.checkpoint_dir:
+            self.replay.save(os.path.join(self.cfg.checkpoint_dir,
+                                          "replay.npz"))
+            import json
+            tmp = os.path.join(self.cfg.checkpoint_dir, "loop_state.tmp")
+            with open(tmp, "w") as f:
+                json.dump(dict(iteration=self.iteration,
+                               consecutive_failures=self.consecutive_failures),
+                          f)
+            os.replace(tmp, os.path.join(self.cfg.checkpoint_dir,
+                                         "loop_state.json"))
         return metrics
 
     def learn(self):
@@ -210,13 +225,14 @@ class Coach:
     # ------------------------------------------------------------------
 
     def save(self, name: str):
+        """opt_state is deliberately NOT saved: the optimizer is rebuilt from
+        scratch on every train() call (reference GenericNNetWrapper.py:49-51),
+        so a stored opt_state could never be used on restore."""
         path = os.path.join(self.cfg.checkpoint_dir, name)
         save_checkpoint(path, self.state.params, self.cfg,
-                        opt_state=self.state.opt_state,
-                        meta=dict(iteration=self.iteration))
-        if name == "best" and jax.process_index() == 0:
-            self.replay.save(os.path.join(self.cfg.checkpoint_dir,
-                                          "replay.npz"))
+                        meta=dict(
+                            iteration=self.iteration,
+                            consecutive_failures=self.consecutive_failures))
 
     def load(self, path: str):
         params, cfg_in_ckpt, meta, transferred = load_checkpoint(
@@ -224,9 +240,21 @@ class Coach:
         self.state = self.state.replace(params=params)
         self.prev_params = params
         self.iteration = int(meta.get("iteration", 0))
+        self.consecutive_failures = int(meta.get("consecutive_failures", 0))
         self.skip_first_selfplay = transferred
-        replay_path = os.path.join(os.path.dirname(path.rstrip("/")),
-                                   "replay.npz")
+        ckpt_dir = os.path.dirname(path.rstrip("/"))
+        # loop_state.json (written after every gate) supersedes the
+        # checkpoint's own meta: it reflects rejected-gate iterations that
+        # never produced a new checkpoint
+        ls_path = os.path.join(ckpt_dir, "loop_state.json")
+        if os.path.exists(ls_path):
+            import json
+            with open(ls_path) as f:
+                ls = json.load(f)
+            self.iteration = int(ls.get("iteration", self.iteration))
+            self.consecutive_failures = int(
+                ls.get("consecutive_failures", self.consecutive_failures))
+        replay_path = os.path.join(ckpt_dir, "replay.npz")
         if os.path.exists(replay_path):
             self.replay.load(replay_path)
         return cfg_in_ckpt, transferred

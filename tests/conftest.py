@@ -23,3 +23,91 @@ jax.config.update("jax_default_matmul_precision", "float32")
 
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8
+
+
+# ---------------------------------------------------------------------------
+# Fast/slow tiering.  The default run (pytest.ini addopts -m "not slow")
+# must stay under ~2 minutes; the full suite runs with  pytest -m "".
+# Slow membership is centralized here (substring match on the test nodeid)
+# so test files stay marker-free.  Policy: every game keeps at least one
+# oracle full-game parity case in the fast tier where that case is cheap;
+# extra seeds, multi-minute integration loops and statistical tests are slow.
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+SLOW_PATTERNS = (
+    # integration / statistical loops
+    "test_population.py::test_population_steps_and_exploit",
+    "test_display_players.py::test_universe_step_int32_all_games",
+    "test_display_players.py::test_greedy_player_host_interface",
+    "test_display_players.py::test_host_game_random_vs_random",
+    "test_display_players.py::test_greedy_beats_random_abalone",
+    "test_multichip.py",
+    "test_train.py::test_dryrun_multichip_8",
+    "test_train.py::test_arena_self_match_balanced",
+    "test_train.py::test_symmetry_augment_runs",
+    "test_train.py::test_train_step_reduces_loss",
+    "test_selfplay.py::test_shapes_and_counts",
+    "test_selfplay.py::test_policy_targets_valid",
+    "test_selfplay.py::test_returns_are_win_loss_pairs",
+    "test_selfplay.py::test_unfinished_tail_has_zero_weight",
+    "test_selfplay.py::test_replay_roundtrip",
+    "test_offline_cli.py::test_offline_train_and_inspect",
+    "test_akropolis_bot.py::test_decisions_match_reference",
+    "test_akropolis_bot.py::test_undefeated_beats_random",
+    "test_mcts_parity.py::test_budget_masking",
+    "test_mcts_parity.py::test_dirichlet_noise",
+    # heavy model variants (keep the small ones fast)
+    "test_models.py::test_forward_and_grad[santorini",
+    "test_models.py::test_forward_and_grad[splendor-variant3",
+    "test_models.py::test_forward_and_grad[splendor-variant4",
+    "test_models.py::test_knowledge_transfer_across_versions",
+    # smallworld full games are ~25 s each
+    "test_smallworld_parity.py::test_full_game_parity",
+    "test_smallworld_parity.py::test_random_game_terminates",
+    # botanik full-game cases are 12-17 s each
+    "test_botanik_parity.py::test_full_game_parity",
+    "test_botanik_parity.py::test_random_game_terminates_and_scores",
+    "test_botanik_parity.py::test_symmetries_consistency",
+    # chance-loop statistical tests
+    "test_splendor_parity.py::test_true_random_chance_stays_legal",
+    "test_minivilles_parity.py::test_true_random_game_terminates",
+    "test_akropolis_parity.py::test_multiplayer_random_game",
+    # long-tail trims to hold the fast tier under 2 minutes
+    "test_export_cli.py::test_export_roundtrip",
+    "test_azul_parity.py::test_scores_round_and_batch",
+    "test_santorini_parity.py::test_vmapped_batch_consistency",
+    "test_akropolis_parity.py::test_rotation_symmetry_consistency",
+    "test_akropolis_parity.py::test_full_game_parity[3-14142]",
+    "test_train.py::test_knowledge_transfer_crop",
+    "test_mcts_parity.py::test_search_parity[False",
+    "test_display_players.py::test_render[smallworld]",
+    "test_display_players.py::test_render[minivilles]",
+    "test_display_players.py::test_render[splendor]",
+)
+
+# keep the FIRST full-game seed of each parametrized oracle run fast,
+# mark the rest slow (coverage identical per seed; seeds only vary the
+# random playthrough)
+_EXTRA_SEED_RE = (
+    ("test_santorini_parity.py::test_full_game_parity[", "[0]"),
+    ("test_santorini_gods_parity.py::test_full_game_parity[", "[0]"),
+    ("test_splendor_parity.py::test_full_game_parity_deterministic_chance[",
+     "[0]"),
+    ("test_azul_parity.py::test_full_game_parity[", "[0]"),
+    ("test_minivilles_parity.py::test_full_game_parity[", "[0]"),
+    ("test_tlp_parity.py::test_full_game_parity[", "[0]"),
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nid = item.nodeid
+        if any(p in nid for p in SLOW_PATTERNS):
+            item.add_marker(pytest.mark.slow)
+            continue
+        for prefix, keep in _EXTRA_SEED_RE:
+            if prefix in nid and not nid.endswith(keep):
+                item.add_marker(pytest.mark.slow)
+                break
