@@ -12,11 +12,26 @@ import os
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
-    p = argparse.ArgumentParser(description="alphazero_tpu PBT")
+    p = argparse.ArgumentParser(description="alphazero_tpu HPO")
     p.add_argument("game", nargs="?", default="santorini")
+    p.add_argument("--scheduler", choices=("pbt", "asha"), default="pbt",
+                   help="pbt: population-based training; asha: asynchronous "
+                        "successive halving (reference useRay.py --scheduler; "
+                        "PB2 intentionally not reproduced, see "
+                        "train/population.py AshaTrainer docstring)")
     p.add_argument("--population", "-k", type=int, default=4)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--exploit-interval", type=int, default=2)
+    p.add_argument("--num-samples", type=int, default=16,
+                   help="ASHA: total configurations to try")
+    p.add_argument("--grace", type=int, default=1,
+                   help="ASHA: iterations before the first cut")
+    p.add_argument("--max-t", type=int, default=4,
+                   help="ASHA: iterations per surviving trial")
+    p.add_argument("--time-lr", nargs=3, type=float, default=None,
+                   metavar=("START", "END", "HOURS"),
+                   help="wall-clock log-interpolated learning rate "
+                        "(reference rayConfig.compute_lr, 3e-4 1e-5 72)")
     p.add_argument("--games-per-iter", type=int, default=256)
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--sims", "-m", type=int, default=0)
@@ -55,12 +70,28 @@ def main(argv=None):
             cfg.net, channels=args.channels or cfg.net.channels,
             depth=args.net_depth or cfg.net.depth))
 
-    trainer = PopulationTrainer(cfg, pop_size=args.population,
-                                seed=args.seed,
-                                exploit_interval=args.exploit_interval)
+    time_lr = tuple(args.time_lr) if args.time_lr else None
+    if args.scheduler == "asha":
+        from alphazero_tpu.train.population import AshaTrainer
+        trainer = AshaTrainer(cfg, num_samples=args.num_samples,
+                              pop_size=args.population, grace=args.grace,
+                              max_t=args.max_t, seed=args.seed,
+                              time_lr=time_lr)
+    else:
+        trainer = PopulationTrainer(cfg, pop_size=args.population,
+                                    seed=args.seed,
+                                    exploit_interval=args.exploit_interval,
+                                    time_lr=time_lr)
     os.makedirs(args.checkpoint_dir, exist_ok=True)
-    hist_path = os.path.join(args.checkpoint_dir, "pbt_history.jsonl")
-    for step in range(args.steps):
+    hist_path = os.path.join(args.checkpoint_dir,
+                             f"{args.scheduler}_history.jsonl")
+    step = 0
+    while True:
+        if args.scheduler == "asha":
+            if trainer.done:
+                break
+        elif step >= args.steps:
+            break
         metrics = trainer.step()
         with open(hist_path, "a") as f:
             for m in metrics:
@@ -69,6 +100,7 @@ def main(argv=None):
                     default=str) + "\n")
         scores = {m.idx: round(m.score, 3) for m in trainer.members}
         print(f"step {step}: scores {scores}")
+        step += 1
     best = trainer.best()
     best.coach.save("best")
     # the reference persists the winning score for the tuner (pit.py:77-84)

@@ -191,7 +191,12 @@ def main(argv=None):
         return pl.mcts_player(spec, make_net(spec, ncfg), params,
                               mcfg or mc)
 
-    host_mode = args.verbose or args.state or "human" in (kind_a, kind_b) \
+    start = None
+    if args.state:
+        import numpy as np
+        start = np.load(args.state)
+
+    host_mode = args.verbose or "human" in (kind_a, kind_b) \
         or "undefeated" in (kind_a, kind_b)
     prof_cm.__enter__()
     if host_mode:
@@ -199,10 +204,6 @@ def main(argv=None):
         pl_a = host_player(kind_a, pa, mca, neta)
         pl_b = host_player(kind_b, pb, mcb, netb)
         wins = [0, 0, 0]  # a, b, draws
-        start = None
-        if args.state:
-            import numpy as np
-            start = np.load(args.state)
         for g in range(args.num_games):
             seats = [pl_a, pl_b] if g % 2 == 0 else [pl_b, pl_a]
             result, moves = play_host_game(
@@ -217,12 +218,13 @@ def main(argv=None):
         res = play_matches(spec, make_net(spec, neta), pa, pb,
                            jax.random.PRNGKey(args.seed),
                            cfg=mc, num_games=args.num_games,
-                           net_b=make_net(spec, netb))
+                           net_b=make_net(spec, netb), init_state=start)
     elif "mcts" in (kind_a, kind_b) and "random" in (kind_a, kind_b):
         params, ncfg = (pa, neta) if kind_a == "mcts" else (pb, netb)
         net = make_net(spec, ncfg)
         r = play_vs_random(spec, net, params, jax.random.PRNGKey(args.seed),
-                           cfg=mc, num_games=args.num_games)
+                           cfg=mc, num_games=args.num_games,
+                           init_state=start)
         res = r if kind_a == "mcts" else \
             ArenaResult(r.two_wins, r.one_wins, r.draws, r.unfinished)
     elif "greedy" in (kind_a, kind_b) and "random" in (kind_a, kind_b):

@@ -361,10 +361,11 @@ def make_splendor(num_players: int = 2) -> GameSpec:
 
     def get_score(state, player):
         s = _i32(state)
-        pn0 = R_PNOBLES + num_nobles * player
+        pn0 = jnp.asarray(R_PNOBLES + num_nobles * player, jnp.int32)
         return (pcards(s, player)[IDX_POINTS]
                 + jnp.sum(jax.lax.dynamic_slice(
-                    s, (pn0, IDX_POINTS), (num_nobles, 1)))).astype(jnp.float32)
+                    s, (pn0, jnp.int32(IDX_POINTS)),
+                    (num_nobles, 1)))).astype(jnp.float32)
 
     def terminal(state):
         """(reference check_end_game, :221-240)"""

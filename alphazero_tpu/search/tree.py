@@ -58,7 +58,10 @@ class Tree:
     prior: jax.Array      # (B, N, A) prior_dtype; invalid = -1
     nsa: jax.Array        # (B, N, A) count_dtype
     qsa: jax.Array        # (B, N, A) q_dtype
-    children: jax.Array   # (B, N, A) child_dtype; -1 = unexpanded
+    children: jax.Array   # (B, N, A) child_dtype; -1 = unexpanded,
+    #                       >= 0 = interior child n, <= -2 = TERMINAL child
+    #                       -(2+n) (encoded at expand time so the walk needs
+    #                       no separate is_term lookup)
     qs: jax.Array         # (B, N) q_dtype — running node value
     n_visit: jax.Array    # (B, N) count_dtype — Ns
     swap: jax.Array       # (B, N) int8 — player shift parent -> node
@@ -73,10 +76,11 @@ def count_dtype_for(num_sims: int):
 
 
 def child_dtype_for(num_nodes: int):
-    """Smallest child-index dtype (-1 sentinel needs a signed type)."""
-    if num_nodes <= 127:
+    """Smallest child-index dtype (signed; must also hold the terminal
+    encoding -(2 + num_nodes))."""
+    if num_nodes <= 125:
         return jnp.int8
-    if num_nodes <= 32767:
+    if num_nodes <= 32765:
         return jnp.int16
     return jnp.int32
 
@@ -168,6 +172,16 @@ def walk_path(tree: Tree, best, depth_cap: int = 0) -> WalkOut:
     """Follow the precomputed best actions from the root, on tiny (B, N)
     maps.  Stops at an unexpanded edge, a terminal child, or the depth cap.
 
+    Per-level cost is op-overhead-bound, so the per-node walk data (best
+    action, next-node code, swap) is packed into ONE (B, N, 3) map — a
+    single gather per level instead of four — and the "terminal child" /
+    "unexpanded" stop conditions are folded into the next-node code:
+        code >= 0   -> interior child `code`
+        code == -1  -> unexpanded edge (new leaf)
+        code <= -2  -> terminal child (-2 - code)
+    The swap-prefix map `scum` doubles as the on-path marker (-1 = off
+    path), saving a separate mask blend per level.
+
     depth_cap > 0 limits descent depth (perf/behavior knob; a cap-stopped
     walk ends on an existing child, whose stored Q is then backed up by
     expand semantics — see expand_batch).
@@ -176,45 +190,46 @@ def walk_path(tree: Tree, best, depth_cap: int = 0) -> WalkOut:
     cap = depth_cap if depth_cap > 0 else 0x7FFFFFF0
     iota = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
 
-    # one children pass: next node per (b, n) along the best action
-    nxt = jnp.take_along_axis(
+    # one children pass: next-node code per (b, n) along the best action
+    # (terminality is already encoded in children, see Tree docstring)
+    code = jnp.take_along_axis(
         tree.children, best[..., None].astype(jnp.int32), axis=2
     )[..., 0].astype(jnp.int32)                               # (B, N)
+    packed = jnp.stack(
+        [best, code, tree.swap.astype(jnp.int32)], axis=-1)   # (B, N, 3)
 
-    def at_node(m, idx):
-        return jnp.take_along_axis(m, idx[:, None], axis=1)[:, 0]
-
-    def can_go(ch, depth):
-        return ((ch >= 0) & ~at_node(tree.is_term, jnp.maximum(ch, 0))
-                & (depth < cap))
+    def row_at(idx):
+        r = jnp.take_along_axis(packed, idx[:, None, None], axis=1)[:, 0]
+        return r[:, 0], r[:, 1], r[:, 2]                      # a, code, swap
 
     def cond_fn(c):
-        cur, a, ch, depth, rs, onpath, scum = c
-        return jnp.any(can_go(ch, depth))
+        cur, a, ch, depth, rs, scum = c
+        return jnp.any((ch >= 0) & (depth < cap))
 
     def body_fn(c):
-        cur, a, ch, depth, rs, onpath, scum = c
-        go = can_go(ch, depth)
+        cur, a, ch, depth, rs, scum = c
+        go = (ch >= 0) & (depth < cap)
         nc = jnp.where(go, jnp.maximum(ch, 0), cur)
-        rs = rs + jnp.where(
-            go, at_node(tree.swap, nc).astype(jnp.int32), 0)
-        hit = go[:, None] & (iota == nc[:, None])
-        onpath = onpath | hit
-        scum = jnp.where(hit, rs[:, None], scum)
-        na = jnp.where(go, at_node(best, nc), a)
-        nch = jnp.where(go, at_node(nxt, nc), ch)
-        return (nc, na, nch, depth + go.astype(jnp.int32), rs, onpath, scum)
+        na, ncode, nsw = row_at(nc)
+        rs = rs + jnp.where(go, nsw, 0)
+        scum = jnp.where(go[:, None] & (iota == nc[:, None]),
+                         rs[:, None], scum)
+        a = jnp.where(go, na, a)
+        ch = jnp.where(go, ncode, ch)
+        return (nc, a, ch, depth + go.astype(jnp.int32), rs, scum)
 
     cur0 = jnp.zeros((B,), jnp.int32)
     a0 = best[:, 0]
-    ch0 = nxt[:, 0]
-    onpath0 = iota == 0
-    scum0 = jnp.zeros((B, N), jnp.int32)
-    cur, a, ch, depth, rs, onpath, scum = jax.lax.while_loop(
+    ch0 = code[:, 0]
+    scum0 = jnp.full((B, N), -1, jnp.int32).at[:, 0].set(0)
+    cur, a, ch, depth, rs, scum = jax.lax.while_loop(
         cond_fn, body_fn,
-        (cur0, a0, ch0, jnp.ones((B,), jnp.int32), cur0, onpath0, scum0))
-    return WalkOut(parent=cur, action=a, existing=ch, depth=depth,
-                   onpath=onpath, scum=scum, psum=rs)
+        (cur0, a0, ch0, jnp.ones((B,), jnp.int32), cur0, scum0))
+    # decode the stop condition: ch == -1 -> new leaf; ch <= -2 -> terminal
+    # child; ch >= 0 -> depth-cap stop on interior child
+    existing = jnp.where(ch == -1, -1, jnp.where(ch <= -2, -2 - ch, ch))
+    return WalkOut(parent=cur, action=a, existing=existing, depth=depth,
+                   onpath=scum >= 0, scum=jnp.maximum(scum, 0), psum=rs)
 
 
 def expand_batch(tree: Tree, walk: WalkOut, child_state, child_swap,
@@ -274,7 +289,9 @@ def expand_batch(tree: Tree, walk: WalkOut, child_state, child_swap,
         is_term=row(tree.is_term, child_is_term),
         term_val=row(tree.term_val, child_term),
         children=tree.children.at[bidx, walk.parent, walk.action].set(
-            jnp.where(wmask, new_idx.astype(tree.children.dtype),
+            jnp.where(wmask,
+                      jnp.where(child_is_term, -2 - new_idx, new_idx
+                                ).astype(tree.children.dtype),
                       tree.children[bidx, walk.parent, walk.action])),
         next_free=tree.next_free + wmask.astype(jnp.int32),
     )

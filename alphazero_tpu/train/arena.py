@@ -45,18 +45,25 @@ def _paired_eval(net_a, net_b):
                                              "net_b"))
 def play_matches(spec: GameSpec, net, params_a, params_b, key, *,
                  cfg: MCTSConfig, num_games: int,
-                 temp_half_life: int = 10, net_b=None) -> ArenaResult:
+                 temp_half_life: int = 10, net_b=None,
+                 init_state=None) -> ArenaResult:
     """num_games lanes; lane i seats A as (absolute) player i%2 — the
     reference's 1-2-2-1 alternation exists for tree-reuse fairness
     (Arena.py:120-127), moot with fresh trees per move.  net_b lets the two
     players use different architectures (the reference rebuilds each
-    player's net from its own checkpoint, pit.py:42-58)."""
+    player's net from its own checkpoint, pit.py:42-58).  init_state starts
+    every lane from a fixed board snapshot (fixed-position regression, the
+    reference's injected-board feature, Arena.py:60-65)."""
     B = num_games
     P = spec.num_players
     eval_fn = _paired_eval(net, net_b if net_b is not None else net)
 
     k_init, k_scan = jax.random.split(key)
-    states0 = jax.vmap(spec.init)(jax.random.split(k_init, B))
+    if init_state is None:
+        states0 = jax.vmap(spec.init)(jax.random.split(k_init, B))
+    else:
+        states0 = jnp.broadcast_to(
+            jnp.asarray(init_state, jnp.int8), (B, *spec.state_shape))
     seat_a = jnp.arange(B, dtype=jnp.int32) % P   # absolute seat of player A
 
     def one_move(carry, t):
@@ -122,16 +129,22 @@ def _mcts_vs_random_eval(net):
                                              "mcts_seats_even"))
 def play_vs_random(spec: GameSpec, net, params, key, *, cfg: MCTSConfig,
                    num_games: int, temp_half_life: int = 10,
-                   mcts_seats_even: bool = True) -> ArenaResult:
+                   mcts_seats_even: bool = True,
+                   init_state=None) -> ArenaResult:
     """MCTS player vs uniform-random baseline (the reference's RandomPlayer,
     e.g. santorini/SantoriniPlayers.py).  Lane i seats the MCTS player at
-    absolute seat i%P.  Returns wins for (mcts, random)."""
+    absolute seat i%P.  Returns wins for (mcts, random).  init_state starts
+    every lane from a fixed board snapshot (Arena.py:60-65)."""
     B = num_games
     P = spec.num_players
     eval_fn = _mcts_vs_random_eval(net)
 
     k_init, k_scan = jax.random.split(key)
-    states0 = jax.vmap(spec.init)(jax.random.split(k_init, B))
+    if init_state is None:
+        states0 = jax.vmap(spec.init)(jax.random.split(k_init, B))
+    else:
+        states0 = jnp.broadcast_to(
+            jnp.asarray(init_state, jnp.int8), (B, *spec.state_shape))
     seat_m = jnp.arange(B, dtype=jnp.int32) % P
 
     def one_move(carry, t):

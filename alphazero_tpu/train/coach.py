@@ -50,16 +50,27 @@ class Coach:
         steps_per_iter = self._train_steps_per_iter()
         self.state = init_train_state(params, cfg.train, steps_per_iter)
         self.prev_params = params  # competitor (reference pnet, Coach.py:29)
-        # data-parallel mesh when several devices are visible: self-play
-        # lanes and train batches shard over 'data'; GSPMD inserts the
-        # gradient all-reduce (SURVEY.md §2.5 scale-out)
+        # mesh when several devices are visible: self-play lanes and train
+        # batches shard over 'data'; large kernels optionally shard over
+        # 'model' (cfg.mesh.model_axis > 1 — tensor parallelism); GSPMD
+        # inserts the gradient all-reduce / kernel collectives over ICI
+        # (SURVEY.md §2.5 scale-out)
         devs = jax.devices()
         n_dev = len(devs)
-        if (n_dev > 1 and cfg.selfplay.batch_size % n_dev == 0
-                and cfg.train.batch_size % n_dev == 0):
-            from alphazero_tpu.parallel.mesh import make_mesh
-            self.mesh = make_mesh(num_data=n_dev, num_model=1, devices=devs)
-            log.info("data-parallel mesh over %d devices", n_dev)
+        num_model = max(1, cfg.mesh.model_axis)
+        n_data = n_dev // num_model
+        if (n_data > 1 and n_dev % num_model == 0
+                and cfg.selfplay.batch_size % n_data == 0
+                and cfg.train.batch_size % n_data == 0):
+            from alphazero_tpu.parallel.mesh import make_mesh, shard_params
+            self.mesh = make_mesh(num_data=n_data, num_model=num_model,
+                                  devices=devs)
+            log.info("mesh over %d devices: data=%d model=%d",
+                     n_dev, n_data, num_model)
+            if num_model > 1:
+                self.state = self.state.replace(params=shard_params(
+                    self.state.params, self.mesh, model_parallel=True))
+                self.prev_params = self.state.params
         else:
             self.mesh = None
         self.iteration = 0

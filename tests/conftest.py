@@ -39,6 +39,7 @@ import pytest  # noqa: E402
 SLOW_PATTERNS = (
     # integration / statistical loops
     "test_population.py::test_population_steps_and_exploit",
+    "test_population.py::test_asha_rungs_and_replacement",
     "test_display_players.py::test_universe_step_int32_all_games",
     "test_display_players.py::test_greedy_player_host_interface",
     "test_display_players.py::test_host_game_random_vs_random",
@@ -74,6 +75,7 @@ SLOW_PATTERNS = (
     "test_splendor_parity.py::test_true_random_chance_stays_legal",
     "test_minivilles_parity.py::test_true_random_game_terminates",
     "test_akropolis_parity.py::test_multiplayer_random_game",
+    "test_multiplayer_parity.py",
     # long-tail trims to hold the fast tier under 2 minutes
     "test_export_cli.py::test_export_roundtrip",
     "test_azul_parity.py::test_scores_round_and_batch",

@@ -140,3 +140,23 @@ def test_dryrun_multichip_8():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_arena_fixed_position_injection(setup):
+    """Batched arena started from an injected snapshot (the reference's
+    --state / Arena.py:60-65): every lane begins at the given mid-game
+    board instead of spec.init."""
+    spec, net, params = setup
+    # build a distinctive mid-game position
+    s = np.asarray(spec.init(jax.random.PRNGKey(5)))
+    for a in [int(np.flatnonzero(np.asarray(spec.valids(jnp.asarray(s))))[0])
+              for _ in range(1)]:
+        s = np.asarray(spec.step_canonical(
+            jnp.asarray(s), jnp.int32(a), jax.random.PRNGKey(0),
+            jnp.int32(0))[0])
+    cfg = MCTSConfig(num_sims=4)
+    res = play_matches(spec, net, params, params, jax.random.PRNGKey(0),
+                       cfg=cfg, num_games=4, init_state=jnp.asarray(s))
+    total = (int(res.one_wins) + int(res.two_wins) + int(res.draws)
+             + int(res.unfinished))
+    assert total == 4
