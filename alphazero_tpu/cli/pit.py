@@ -55,6 +55,9 @@ def main(argv=None):
                         "(fixed-position regression, reference "
                         "Arena.py:60-65 / pit.py:224)")
     p.add_argument("--num-games", "-n", type=int, default=64)
+    p.add_argument("--reuse-tree", action="store_true",
+                   help="carry each player's search tree across its moves "
+                        "(reference MCTS persistence, MCTS.py:85-91)")
     p.add_argument("--numMCTSSims", "-m", type=int, default=0,
                    help="override sims (0 = use checkpoint value)")
     p.add_argument("--variant", default="{}")
@@ -120,7 +123,8 @@ def main(argv=None):
             return play_matches(spec, make_net(spec, neta), pa, pb,
                                 jax.random.PRNGKey(seed), cfg=mc_,
                                 num_games=args.num_games,
-                                net_b=make_net(spec, netb))
+                                net_b=make_net(spec, netb),
+                                reuse_tree=args.reuse_tree)
         if "mcts" in (kind_a, kind_b) and "random" in (kind_a, kind_b):
             params, ncfg = (pa, neta) if kind_a == "mcts" else (pb, netb)
             net = make_net(spec, ncfg)
@@ -218,7 +222,8 @@ def main(argv=None):
         res = play_matches(spec, make_net(spec, neta), pa, pb,
                            jax.random.PRNGKey(args.seed),
                            cfg=mc, num_games=args.num_games,
-                           net_b=make_net(spec, netb), init_state=start)
+                           net_b=make_net(spec, netb), init_state=start,
+                           reuse_tree=args.reuse_tree)
     elif "mcts" in (kind_a, kind_b) and "random" in (kind_a, kind_b):
         params, ncfg = (pa, neta) if kind_a == "mcts" else (pb, netb)
         net = make_net(spec, ncfg)

@@ -82,7 +82,7 @@ def mcts_player(spec: GameSpec, net, params, cfg,
     @jax.jit
     def search(state, key):
         states = state[None]
-        out = mcts_search(
+        out, _ = mcts_search(
             spec, eval_fn, params, states, key,
             jnp.full((1,), cfg.num_sims, jnp.int32),
             noise_mask=jnp.zeros((1,), bool),

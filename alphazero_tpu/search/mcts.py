@@ -68,7 +68,8 @@ def mcts_search(spec: GameSpec, eval_fn: EvalFn, eval_args,
                 root_states: jax.Array, key: jax.Array, budgets: jax.Array,
                 noise_mask: jax.Array, forced_mask: jax.Array, *,
                 cfg: MCTSConfig, num_sims_max: int,
-                use_noise: bool = True) -> MCTSOutput:
+                use_noise: bool = True, init_tree=None, reuse_mask=None,
+                extra_nodes: int = 0) -> Tuple[MCTSOutput, Any]:
     """Run MCTS from B root states (pure; callers may jit around it).
 
     budgets:     (B,) int32 — per-lane simulation budgets (<= num_sims_max);
@@ -76,15 +77,36 @@ def mcts_search(spec: GameSpec, eval_fn: EvalFn, eval_args,
     noise_mask:  (B,) bool — apply root Dirichlet noise (full-search lanes
                  during self-play; reference MCTS.py:64).
     forced_mask: (B,) bool — forced playouts + policy target pruning.
+    init_tree / reuse_mask: cross-move tree reuse (reference MCTS.py:85-91):
+                 a re-rooted Tree from tree.extract_subtree whose node arenas
+                 seed the masked lanes; fresh root Dirichlet noise is applied
+                 to the stored root prior like the reference's per-call
+                 applyDirNoise.  Reuse is dropped automatically on lanes
+                 whose stored root state differs from root_states (chance
+                 moves resolved differently than the search assumed).
+    extra_nodes: widen the arena beyond num_sims_max+1 so reused subtrees
+                 plus the new simulation budget fit.
+    Returns (output, final_trees); final_trees feeds extract_subtree.
     """
     B = root_states.shape[0]
     qdt = jnp.dtype(cfg.q_dtype)
     pdt = jnp.dtype(cfg.prior_dtype)
+    N = num_sims_max + 1 + extra_nodes
 
     # --- root expansion (simulation 0, reference MCTS.py:140-154) ----------
     root_valids = jax.vmap(spec.valids)(root_states)
     prior0, v0 = eval_fn(eval_args, jax.vmap(spec.observe)(root_states),
                          root_valids)
+    if init_tree is not None:
+        assert init_tree.prior.shape[1] == N, (
+            f"init_tree has {init_tree.prior.shape[1]} nodes, need {N}")
+        state_match = jnp.all(
+            init_tree.states[:, 0] == root_states,
+            axis=tuple(range(1, root_states.ndim)))
+        rm = reuse_mask & state_match
+        stored_p = init_tree.prior[:, 0].astype(prior0.dtype)
+        root_valids = jnp.where(rm[:, None], stored_p >= 0, root_valids)
+        prior0 = jnp.where(rm[:, None], jnp.maximum(stored_p, 0), prior0)
     if use_noise:
         p = _power_temp(prior0, cfg.temp_soft)
         p = add_dirichlet(jax.random.fold_in(key, 0), p, root_valids,
@@ -92,13 +114,35 @@ def mcts_search(spec: GameSpec, eval_fn: EvalFn, eval_args,
         p = p / jnp.maximum(jnp.sum(p, -1, keepdims=True), 1e-30)
         prior0 = jnp.where(noise_mask[:, None], p, prior0)
 
-    trees = make_tree(spec, B, num_sims_max + 1, qdt, pdt)
+    trees = make_tree(spec, B, N, qdt, pdt)
     trees = init_root(trees, root_states, root_valids, prior0, v0[:, 0])
+    if init_tree is not None:
+        # reused lanes take the whole carried arena, with the root prior row
+        # replaced by the (re-noised) prior computed above
+        pr_root = jnp.where(root_valids, prior0.astype(pdt),
+                            jnp.asarray(-1, pdt))
+        src = init_tree.replace(prior=init_tree.prior.at[:, 0].set(pr_root))
+
+        def blend(a, b):
+            m = rm.reshape((B,) + (1,) * (a.ndim - 1))
+            return jnp.where(m, a, b)
+
+        trees = jax.tree.map(blend, src, trees)
 
     magic = jnp.asarray(MAGIC_SEEDS, jnp.int32)
 
+    # a reused root is ALREADY expanded, so all `budget` simulations add
+    # root-edge visits (the reference's getActionProb runs numMCTSSims
+    # descents on an existing dict node); fresh roots spend one on expansion
+    if init_tree is not None:
+        eff_budgets = budgets + rm.astype(jnp.int32)
+        n_steps = num_sims_max + 1
+    else:
+        eff_budgets = budgets
+        n_steps = num_sims_max
+
     def one_sim(trees, sim_idx):
-        active = sim_idx < budgets                      # (B,)
+        active = sim_idx < eff_budgets                  # (B,)
         skey = jax.random.fold_in(key, sim_idx)
         # universes: deterministic chance seed per simulation
         # (reference MCTS.py:62-63); <=0 => true-random via PRNG key.
@@ -128,7 +172,7 @@ def mcts_search(spec: GameSpec, eval_fn: EvalFn, eval_args,
         return trees, None
 
     trees, _ = jax.lax.scan(one_sim, trees,
-                            jnp.arange(1, num_sims_max, dtype=jnp.int32))
+                            jnp.arange(1, n_steps, dtype=jnp.int32))
 
     # --- outputs (reference getActionProb, MCTS.py:67-83) -------------------
     counts = trees.nsa[:, 0].astype(jnp.float32)        # (B, A)
@@ -150,7 +194,8 @@ def mcts_search(spec: GameSpec, eval_fn: EvalFn, eval_args,
     counts = jnp.where(forced_mask[:, None], adjusted, counts)
 
     return MCTSOutput(counts=counts, q=q, root_valids=root_valids,
-                      root_prior=root_prior, tree_nodes=trees.next_free)
+                      root_prior=root_prior,
+                      tree_nodes=trees.next_free), trees
 
 
 @functools.partial(
@@ -161,9 +206,10 @@ def run_mcts(spec: GameSpec, eval_fn, root_states, key, budgets, noise_mask,
              use_noise: bool = True, eval_args=None) -> MCTSOutput:
     """Jitted convenience wrapper around mcts_search for standalone use;
     eval_fn here takes (eval_args, obs, valids) with eval_args traced."""
-    return mcts_search(spec, eval_fn, eval_args, root_states, key, budgets,
-                       noise_mask, forced_mask, cfg=cfg,
-                       num_sims_max=num_sims_max, use_noise=use_noise)
+    out, _ = mcts_search(spec, eval_fn, eval_args, root_states, key, budgets,
+                         noise_mask, forced_mask, cfg=cfg,
+                         num_sims_max=num_sims_max, use_noise=use_noise)
+    return out
 
 
 # ---------------------------------------------------------------------------

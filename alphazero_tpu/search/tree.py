@@ -67,6 +67,8 @@ class Tree:
     swap: jax.Array       # (B, N) int8 — player shift parent -> node
     is_term: jax.Array    # (B, N) bool
     term_val: jax.Array   # (B, N, P) float32 — terminal result vectors
+    parent: jax.Array     # (B, N) int32 — used only for cross-move subtree
+    #                       extraction (extract_subtree); search never reads it
     next_free: jax.Array  # (B,) int32
 
 
@@ -101,6 +103,7 @@ def make_tree(spec: GameSpec, batch: int, num_nodes: int,
         swap=jnp.zeros((B, N), jnp.int8),
         is_term=jnp.zeros((B, N), bool),
         term_val=jnp.zeros((B, N, P), jnp.float32),
+        parent=jnp.zeros((B, N), jnp.int32),
         next_free=jnp.ones((B,), jnp.int32),
     )
 
@@ -270,7 +273,8 @@ def expand_batch(tree: Tree, walk: WalkOut, child_state, child_swap,
     leaf_swap = jnp.where(is_new, child_swap,
                           tree.swap[bidx, old].astype(child_swap.dtype))
 
-    wmask = active & is_new
+    N = tree.prior.shape[1]
+    wmask = active & is_new & (new_idx < N)   # full-arena guard (tree reuse)
 
     def row(arr, val):
         val = jnp.asarray(val, arr.dtype)
@@ -288,6 +292,7 @@ def expand_batch(tree: Tree, walk: WalkOut, child_state, child_swap,
         swap=row(tree.swap, child_swap),
         is_term=row(tree.is_term, child_is_term),
         term_val=row(tree.term_val, child_term),
+        parent=row(tree.parent, walk.parent),
         children=tree.children.at[bidx, walk.parent, walk.action].set(
             jnp.where(wmask,
                       jnp.where(child_is_term, -2 - new_idx, new_idx
@@ -334,3 +339,89 @@ def backup_dense(tree: Tree, walk: WalkOut, best, v_leaf, leaf_swap,
     n_visit = tree.n_visit + on.astype(tree.n_visit.dtype)
 
     return tree.replace(qsa=qsa, nsa=nsa, qs=qs, n_visit=n_visit)
+
+
+def extract_subtree(tree: Tree, action, num_nodes_new: int,
+                    max_keep: int = 0) -> Tuple[Tree, jax.Array]:
+    """Re-root each lane's tree at the chosen root child — cross-move tree
+    reuse (the reference persists its node dict across moves within an
+    episode, /root/reference/MCTS.py:85-91,125-126; reset only between
+    arena games, Arena.py:99).
+
+    Returns (tree', ok) where tree' has ``num_nodes_new`` slots, the chosen
+    child's subtree compacted into slots 0.. with all statistics (Nsa, Qsa,
+    priors, terminal encodings) preserved, and ok (B,) marks lanes whose
+    reuse is valid: the chosen child exists, is interior (non-terminal), and
+    its subtree fits the new arena.  Lanes with ok=False get an empty tree
+    and must be root-expanded fresh by the caller.
+
+    Node indices are strictly increasing along any path (children are
+    allocated after parents), so subtree membership is a single index-order
+    pass and compaction (cumsum ranks) preserves the ordering invariant.
+    """
+    B, N, A = tree.prior.shape
+    Nn = num_nodes_new
+    bidx = jnp.arange(B)
+    code = tree.children[bidx, 0, action.astype(jnp.int32)].astype(jnp.int32)
+    root_new = jnp.maximum(code, 1)
+    ok = code >= 1                       # interior child exists
+
+    def body(j, member):
+        p = tree.parent[:, j]
+        m = (j == root_new) | member[bidx, p]
+        return member.at[:, j].set(m)
+
+    member = jax.lax.fori_loop(
+        1, N, body, jnp.zeros((B, N), bool))
+    sizes = jnp.sum(member, axis=1).astype(jnp.int32)
+    # the caller's next search adds up to its sim budget in new nodes, so
+    # only subtrees within max_keep (== the arena headroom) are reused
+    ok = ok & (sizes <= (max_keep if max_keep > 0 else Nn))
+    member = member & ok[:, None]
+
+    rank = jnp.cumsum(member, axis=1).astype(jnp.int32) - 1   # new index
+    new_of_old = jnp.where(member, rank, -1)                  # (B, N)
+    # inverse permutation: old index per new slot, OOB for empty slots
+    old_of_new = jnp.full((B, Nn), N, jnp.int32).at[
+        bidx[:, None], jnp.where(member, rank, Nn)
+    ].set(jnp.broadcast_to(jnp.arange(N), (B, N)), mode="drop")
+
+    def take(arr, fill):
+        idx = old_of_new.reshape((B, Nn) + (1,) * (arr.ndim - 2))
+        idx = jnp.broadcast_to(idx, (B, Nn) + arr.shape[2:])
+        return jnp.take_along_axis(arr, idx, axis=1, mode="fill",
+                                   fill_value=fill).astype(arr.dtype)
+
+    # children codes must be remapped through the compaction
+    ch = take(tree.children, -1).astype(jnp.int32)            # old codes
+    tgt = jnp.where(ch >= 0, ch, -2 - ch)                     # old child idx
+    tgt = jnp.clip(tgt, 0, N - 1)
+    # gather new index of each referenced child: new_of_old[b, tgt]
+    flat = jnp.take_along_axis(
+        new_of_old, tgt.reshape(B, -1), axis=1).reshape(B, Nn, A)
+    ch_new = jnp.where(ch == -1, -1,
+                       jnp.where(ch >= 0, flat, -2 - flat))
+    # a terminal child is not a member (it has no subtree value); its stats
+    # live on the edge, so remapping only applies to interior codes — but
+    # terminal CHILD NODES are members too (they hang off interior parents),
+    # so flat is valid for both encodings.
+
+    parent_new = jnp.take_along_axis(
+        new_of_old, jnp.clip(take(tree.parent, 0), 0, N - 1), axis=1)
+    parent_new = jnp.maximum(parent_new, 0)
+
+    out = Tree(
+        states=take(tree.states, 0),
+        prior=take(tree.prior, -1),
+        nsa=take(tree.nsa, 0),
+        qsa=take(tree.qsa, 0),
+        children=ch_new.astype(tree.children.dtype),
+        qs=take(tree.qs, 0),
+        n_visit=take(tree.n_visit, 0),
+        swap=take(tree.swap, 0).at[:, 0].set(0),
+        is_term=take(tree.is_term, False),
+        term_val=take(tree.term_val, 0.0),
+        parent=parent_new.at[:, 0].set(0),
+        next_free=jnp.where(ok, sizes, 1),
+    )
+    return out, ok

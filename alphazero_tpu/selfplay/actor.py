@@ -110,7 +110,7 @@ def run_selfplay(spec: GameSpec, net, params, key, *, mc: MCTSConfig,
                 jnp.full((nb,), sims, jnp.int32),
                 jnp.full((nb,), noise, bool),
                 jnp.full((nb,), forced, bool),
-                cfg=mc, num_sims_max=sims, use_noise=noise)
+                cfg=mc, num_sims_max=sims, use_noise=noise)[0]
 
         out_f = search(perm[:n_full], mc.num_sims, use_noise,
                        mc.forced_playouts)

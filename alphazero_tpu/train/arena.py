@@ -19,7 +19,9 @@ import jax.numpy as jnp
 
 from alphazero_tpu.config import MCTSConfig
 from alphazero_tpu.games.base import GameSpec
-from alphazero_tpu.search.mcts import (argmax_action, clamp_to_valid, mcts_search, temp_for_game)
+from alphazero_tpu.search.mcts import (argmax_action, clamp_to_valid,
+                                       mcts_search, temp_for_game)
+from alphazero_tpu.search.tree import extract_subtree, make_tree
 
 
 class ArenaResult(NamedTuple):
@@ -42,21 +44,31 @@ def _paired_eval(net_a, net_b):
 
 @functools.partial(jax.jit, static_argnames=("spec", "net", "cfg",
                                              "num_games", "temp_half_life",
-                                             "net_b"))
+                                             "net_b", "reuse_tree"))
 def play_matches(spec: GameSpec, net, params_a, params_b, key, *,
                  cfg: MCTSConfig, num_games: int,
                  temp_half_life: int = 10, net_b=None,
-                 init_state=None) -> ArenaResult:
+                 init_state=None, reuse_tree: bool = False) -> ArenaResult:
     """num_games lanes; lane i seats A as (absolute) player i%2 — the
     reference's 1-2-2-1 alternation exists for tree-reuse fairness
-    (Arena.py:120-127), moot with fresh trees per move.  net_b lets the two
-    players use different architectures (the reference rebuilds each
-    player's net from its own checkpoint, pit.py:42-58).  init_state starts
-    every lane from a fixed board snapshot (fixed-position regression, the
-    reference's injected-board feature, Arena.py:60-65)."""
+    (Arena.py:120-127).  net_b lets the two players use different
+    architectures (the reference rebuilds each player's net from its own
+    checkpoint, pit.py:42-58).  init_state starts every lane from a fixed
+    board snapshot (fixed-position regression, the reference's
+    injected-board feature, Arena.py:60-65).
+
+    reuse_tree=True carries each player's search tree across its moves
+    within a game (the reference persists its MCTS dicts across moves,
+    resetting only between games, MCTS.py:85-91 / Arena.py:99): every ply
+    BOTH players' carried trees are re-rooted through the played action
+    (the mover's directly; the opponent's to keep it synced with the
+    position), at the cost of a 2x-sims-wide node arena and two
+    extract_subtree passes per ply."""
     B = num_games
     P = spec.num_players
     eval_fn = _paired_eval(net, net_b if net_b is not None else net)
+    extra = cfg.num_sims if reuse_tree else 0
+    N = cfg.num_sims + 1 + extra
 
     k_init, k_scan = jax.random.split(key)
     if init_state is None:
@@ -66,22 +78,57 @@ def play_matches(spec: GameSpec, net, params_a, params_b, key, *,
             jnp.asarray(init_state, jnp.int8), (B, *spec.state_shape))
     seat_a = jnp.arange(B, dtype=jnp.int32) % P   # absolute seat of player A
 
+    qdt = jnp.dtype(cfg.q_dtype)
+    pdt = jnp.dtype(cfg.prior_dtype)
+    tree0 = make_tree(spec, B, N, qdt, pdt)
+    ok0 = jnp.zeros((B,), bool)
+
     def one_move(carry, t):
-        states, cur_player, done, result = carry
+        states, cur_player, done, result, ta, tb, oka, okb = carry
         kt = jax.random.fold_in(k_scan, t)
         k_mcts, k_act, k_step = jax.random.split(kt, 3)
 
         use_a = cur_player == seat_a
         budgets = jnp.where(done, 1, cfg.num_sims).astype(jnp.int32)
-        out = mcts_search(spec, eval_fn, (params_a, params_b, use_a),
-                          states, k_mcts, budgets,
-                          noise_mask=jnp.zeros((B,), bool),
-                          forced_mask=jnp.full((B,), cfg.forced_playouts),
-                          cfg=cfg, num_sims_max=cfg.num_sims, use_noise=False)
+        if reuse_tree:
+            def blend(xa, xb):
+                m = use_a.reshape((B,) + (1,) * (xa.ndim - 1))
+                return jnp.where(m, xa, xb)
+            init_tree = jax.tree.map(blend, ta, tb)
+            rm = jnp.where(use_a, oka, okb)
+        else:
+            init_tree, rm = None, None
+        out, trees = mcts_search(
+            spec, eval_fn, (params_a, params_b, use_a),
+            states, k_mcts, budgets,
+            noise_mask=jnp.zeros((B,), bool),
+            forced_mask=jnp.full((B,), cfg.forced_playouts),
+            cfg=cfg, num_sims_max=cfg.num_sims, use_noise=False,
+            init_tree=init_tree, reuse_mask=rm, extra_nodes=extra)
 
         temp = temp_for_game(temp_half_life, (t + 1).astype(jnp.float32))
         action = clamp_to_valid(argmax_action(k_act, out.counts, temp),
                                 out.root_valids)
+
+        if reuse_tree:
+            # re-root the mover's fresh search tree AND the opponent's
+            # carried tree through the played action
+            sub_m, ok_m = extract_subtree(trees, action, N, max_keep=extra)
+            other = jax.tree.map(lambda xa, xb: jnp.where(
+                use_a.reshape((B,) + (1,) * (xa.ndim - 1)), xb, xa), ta, tb)
+            ok_o = jnp.where(use_a, okb, oka)
+            sub_o, ok_o2 = extract_subtree(other, action, N, max_keep=extra)
+            ok_o = ok_o & ok_o2
+            ta = jax.tree.map(
+                lambda m_, o_: jnp.where(
+                    use_a.reshape((B,) + (1,) * (m_.ndim - 1)), m_, o_),
+                sub_m, sub_o)
+            tb = jax.tree.map(
+                lambda m_, o_: jnp.where(
+                    use_a.reshape((B,) + (1,) * (m_.ndim - 1)), o_, m_),
+                sub_m, sub_o)
+            oka = jnp.where(use_a, ok_m, ok_o)
+            okb = jnp.where(use_a, ok_o, ok_m)
 
         step_keys = jax.random.split(k_step, B)
         next_states, swap = jax.vmap(spec.step_canonical)(
@@ -97,11 +144,11 @@ def play_matches(spec: GameSpec, net, params_a, params_b, key, *,
         result = jnp.where(done[:, None], result, result_abs)
         cur_player = jnp.where(done, cur_player, next_player)
         done = done | new_done
-        return (states, cur_player, done, result), None
+        return (states, cur_player, done, result, ta, tb, oka, okb), None
 
     carry0 = (states0, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool),
-              jnp.zeros((B, P), jnp.float32))
-    (_, _, done, result), _ = jax.lax.scan(
+              jnp.zeros((B, P), jnp.float32), tree0, tree0, ok0, ok0)
+    (_, _, done, result, *_), _ = jax.lax.scan(
         one_move, carry0, jnp.arange(spec.max_game_length, dtype=jnp.int32))
 
     # score from each player's seat (reference counts gameResult == +-1,
@@ -154,7 +201,7 @@ def play_vs_random(spec: GameSpec, net, params, key, *, cfg: MCTSConfig,
 
         mcts_turn = cur_player == seat_m
         budgets = jnp.where(done | ~mcts_turn, 1, cfg.num_sims).astype(jnp.int32)
-        out = mcts_search(spec, eval_fn, (params, None), states, k_mcts,
+        out, _ = mcts_search(spec, eval_fn, (params, None), states, k_mcts,
                           budgets, noise_mask=jnp.zeros((B,), bool),
                           forced_mask=jnp.full((B,), cfg.forced_playouts)
                           & mcts_turn,

@@ -30,9 +30,13 @@ def main():
     ap.add_argument("--moves", type=int, default=16)
     ap.add_argument("--channels", type=int, default=128)
     ap.add_argument("--depth", type=int, default=6)
-    ap.add_argument("--max-depth", type=int, default=24,
+    ap.add_argument("--max-depth", type=int, default=0,
                     help="tree descent depth cap (0 = unbounded/exact); "
                     "capped revisits back up the node's stored Q")
+    ap.add_argument("--tree-dtype", default="bfloat16",
+                    help="tree prior/q storage dtype (bfloat16 halves the "
+                    "dense per-sim passes; float32 matches the parity-test "
+                    "configuration bit-for-bit)")
     ap.add_argument("--cpu", action="store_true", help="force CPU platform")
     args = ap.parse_args()
 
@@ -63,7 +67,8 @@ def main():
     net = make_net(spec, NetConfig(version=1, channels=ch, depth=depth))
     params = init_params(net, spec, jax.random.PRNGKey(0))
     mc = MCTSConfig(num_sims=sims, ratio_full=4, prob_full=0.25,
-                    forced_playouts=True, max_depth=args.max_depth)
+                    forced_playouts=True, max_depth=args.max_depth,
+                    q_dtype=args.tree_dtype, prior_dtype=args.tree_dtype)
     sp = SelfPlayConfig(batch_size=B)
 
     def run(key):
