@@ -38,10 +38,14 @@ def build_config(argv=None):
     p.add_argument("--ratio-fullMCTS", type=int, default=5)
     p.add_argument("--prob-fullMCTS", type=float, default=0.25)
     p.add_argument("--universes", "-u", type=int, default=1)
-    p.add_argument("--max-depth", type=int, default=24,
-                   help="tree descent depth cap (0 = unbounded/exact); "
-                   "capped revisits back up the node's stored Q — the "
-                   "measured training recipe uses 24")
+    p.add_argument("--max-depth", type=int, default=0,
+                   help="tree descent depth cap (0 = unbounded/exact "
+                   "search — the dense engine's cost no longer grows with "
+                   "descent depth); capped revisits back up the stored Q")
+    p.add_argument("--tree-dtype", default="bfloat16",
+                   help="search-tree prior/q storage dtype (bfloat16 halves "
+                   "the per-simulation dense passes; float32 = parity-test "
+                   "configuration)")
 
     p.add_argument("--learn-rate", "-l", type=float, default=2e-3)
     p.add_argument("--epochs", "-p", type=int, default=4)
@@ -86,7 +90,8 @@ def build_config(argv=None):
             temp_soft=args.temperature[2],
             forced_playouts=args.forced_playouts,
             ratio_full=args.ratio_fullMCTS, prob_full=args.prob_fullMCTS,
-            universes=args.universes, max_depth=args.max_depth),
+            universes=args.universes, max_depth=args.max_depth,
+            q_dtype=args.tree_dtype, prior_dtype=args.tree_dtype),
         selfplay=SelfPlayConfig(
             batch_size=args.selfplay_batch, temp_begin=args.temperature[0],
             temp_end=args.temperature[1], temp_half_life=args.tempThreshold),

@@ -144,10 +144,37 @@ class Coach:
                 self._next_key(), augment=cfg.symmetry_augment,
                 mesh=self.mesh)
             losses.append(m)
-        return dict(steps=total,
-                    loss=float(np.mean([float(m.loss) for m in losses])),
-                    loss_pi=float(np.mean([float(m.loss_pi) for m in losses])),
-                    loss_v=float(np.mean([float(m.loss_v) for m in losses])))
+        out = dict(steps=total,
+                   loss=float(np.mean([float(m.loss) for m in losses])),
+                   loss_pi=float(np.mean([float(m.loss_pi) for m in losses])),
+                   loss_v=float(np.mean([float(m.loss_v) for m in losses])))
+        # held-out loss each iteration so replay overfit is visible in-loop
+        # (the reference tracks validation loss during training,
+        # GenericNNetWrapper.py:159-177); the newest examples — this
+        # iteration's self-play — stand in for a held-out split, plus a
+        # value-head health diagnostic corr(v, z) on the same slice
+        n_val = min(self.replay.size, 4096)
+        if n_val >= 64:
+            from alphazero_tpu.train.learner import evaluate_loss
+            ids = (self.replay.head - 1 - np.arange(n_val)) % self.replay.capacity
+            vb = {k: jnp.asarray(v) for k, v in dict(
+                state=self.replay.state[ids],
+                pi=self.replay.pi[ids].astype(np.float32),
+                z=self.replay.z[ids].astype(np.float32),
+                q=self.replay.q[ids].astype(np.float32),
+                valids=self.replay.valids[ids]).items()}
+            out["val_loss"] = float(evaluate_loss(
+                self.spec, self.net, self.state.params, vb,
+                q_weight=cfg.q_weight))
+            obs = jax.vmap(self.spec.observe)(vb["state"])
+            _, v = self.net.apply(self.state.params, obs, vb["valids"])
+            v0 = np.asarray(v)[:, 0]
+            z0 = np.asarray(vb["z"])[:, 0]
+            denom = v0.std() * z0.std()
+            out["value_corr"] = float(
+                np.mean((v0 - v0.mean()) * (z0 - z0.mean())) / denom) \
+                if denom > 1e-6 else 0.0
+        return out
 
     def gate(self) -> dict:
         """Arena new-vs-previous; accept/rollback (Coach.py:200-215)."""

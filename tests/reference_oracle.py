@@ -48,6 +48,10 @@ def install_numba_stub():
     numba.jit = _njit
 
     def _getattr(name):  # int8, float32, bool_, ... type expressions
+        if name.startswith("__"):
+            # introspection (inspect/torch custom_ops iterate sys.modules
+            # and probe __file__ etc.) must see a normal missing attribute
+            raise AttributeError(name)
         return _NumbaTypeStub()
 
     numba.__getattr__ = _getattr
@@ -149,3 +153,40 @@ def make_oracle_board(L, nb_gods: int = 1):
     b.gods_power.flat[0 + nb_gods * 0] = 64
     b.gods_power.flat[0 + nb_gods * 1] = 64
     return b
+
+
+def install_ort_stub():
+    """onnxruntime is not installed in this image; the reference imports it
+    at module scope (GenericNNetWrapper.py:20) but only uses it in its ONNX
+    inference mode, which callers here bypass (device['inference']='cpu')."""
+    if "onnxruntime" in sys.modules:
+        return
+    ort = types.ModuleType("onnxruntime")
+    ort.__version__ = "0.0.0-stub"
+
+    def _unavailable(*a, **k):
+        raise RuntimeError("onnxruntime stub: ONNX inference disabled")
+
+    ort.InferenceSession = _unavailable
+    ort.SessionOptions = _unavailable
+    ort.ExecutionMode = types.SimpleNamespace(ORT_SEQUENTIAL=0)
+    sys.modules["onnxruntime"] = ort
+    onnx = types.ModuleType("onnx")
+    onnx.load = _unavailable
+    onnx.checker = types.SimpleNamespace(check_model=_unavailable)
+    onnx.version_converter = types.SimpleNamespace(
+        convert_version=_unavailable)
+    sys.modules["onnx"] = onnx
+    # torchvision: imported at SantoriniNNet module scope for the MobileNet
+    # versions; the committed pretrained nets (V89) use plain torch blocks
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        models = types.ModuleType("torchvision.models")
+        mnv3 = types.ModuleType("torchvision.models.mobilenetv3")
+        mnv3.InvertedResidualConfig = _unavailable
+        mnv3.InvertedResidual = _unavailable
+        tv.models = models
+        models.mobilenetv3 = mnv3
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = models
+        sys.modules["torchvision.models.mobilenetv3"] = mnv3
