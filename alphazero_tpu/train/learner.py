@@ -82,12 +82,8 @@ def _augment(spec: GameSpec, key, state, pi, valids):
     return st[b, idx], pis[b, idx], vas[b, idx]
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "net", "cfg",
-                                             "total_steps", "augment",
-                                             "mesh"))
-def train_step(spec: GameSpec, net, cfg: TrainConfig, total_steps: int,
-               state: TrainState, batch, key, augment: bool = True,
-               mesh=None) -> Tuple[TrainState, TrainMetrics]:
+def _train_step_impl(spec, net, cfg, total_steps, state, batch, key,
+                     augment, mesh):
     opt, sched = make_optimizer(cfg, total_steps)
 
     if mesh is not None:
@@ -124,6 +120,16 @@ def train_step(spec: GameSpec, net, cfg: TrainConfig, total_steps: int,
                                    lr=sched(state.step))
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "net", "cfg",
+                                             "total_steps", "augment",
+                                             "mesh"))
+def train_step(spec: GameSpec, net, cfg: TrainConfig, total_steps: int,
+               state: TrainState, batch, key, augment: bool = True,
+               mesh=None) -> Tuple[TrainState, TrainMetrics]:
+    return _train_step_impl(spec, net, cfg, total_steps, state, batch, key,
+                            augment, mesh)
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "net", "q_weight"))
 def evaluate_loss(spec: GameSpec, net, params, batch, q_weight: float = 0.5):
     """Validation loss (reference GenericNNetWrapper.evaluate, :159-177)."""
@@ -131,3 +137,24 @@ def evaluate_loss(spec: GameSpec, net, params, batch, q_weight: float = 0.5):
     log_pi, v = net.apply(params, obs, batch["valids"])
     return (loss_pi(batch["pi"], log_pi)
             + loss_v(batch["z"], batch["q"], v, q_weight))
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "net", "cfg",
+                                             "total_steps", "augment",
+                                             "mesh"))
+def train_chunk(spec: GameSpec, net, cfg: TrainConfig, total_steps: int,
+                state: TrainState, batches, key, augment: bool = True,
+                mesh=None):
+    """Run K train steps as ONE device program (lax.scan over stacked
+    (K, B, ...) batches).  The per-step host loop costs ~70 ms/step through
+    the accelerator tunnel (dispatch + per-batch transfer); chunking
+    amortizes it to one transfer + one dispatch per K steps."""
+    def body(st, xs):
+        batch, k = xs
+        st, m = _train_step_impl(spec, net, cfg, total_steps, st, batch, k,
+                                 augment, mesh)
+        return st, m
+    K = jax.tree.leaves(batches)[0].shape[0]
+    keys = jax.random.split(key, K)
+    state, ms = jax.lax.scan(body, state, (batches, keys))
+    return state, ms
