@@ -44,11 +44,12 @@ def _paired_eval(net_a, net_b):
 
 @functools.partial(jax.jit, static_argnames=("spec", "net", "cfg",
                                              "num_games", "temp_half_life",
-                                             "net_b", "reuse_tree"))
+                                             "net_b", "reuse_tree", "cfg_b"))
 def play_matches(spec: GameSpec, net, params_a, params_b, key, *,
                  cfg: MCTSConfig, num_games: int,
                  temp_half_life: int = 10, net_b=None,
-                 init_state=None, reuse_tree: bool = False) -> ArenaResult:
+                 init_state=None, reuse_tree: bool = False,
+                 cfg_b=None) -> ArenaResult:
     """num_games lanes; lane i seats A as (absolute) player i%2 — the
     reference's 1-2-2-1 alternation exists for tree-reuse fairness
     (Arena.py:120-127).  net_b lets the two players use different
@@ -109,6 +110,18 @@ def play_matches(spec: GameSpec, net, params_a, params_b, key, *,
         temp = temp_for_game(temp_half_life, (t + 1).astype(jnp.float32))
         action = clamp_to_valid(argmax_action(k_act, out.counts, temp),
                                 out.root_valids)
+        if cfg_b is not None:
+            # search-semantics duel: player B picks from its OWN search
+            # config (e.g. depth-capped vs exact at equal sims)
+            out_b, _ = mcts_search(
+                spec, eval_fn, (params_a, params_b, use_a),
+                states, k_mcts, budgets,
+                noise_mask=jnp.zeros((B,), bool),
+                forced_mask=jnp.full((B,), cfg_b.forced_playouts),
+                cfg=cfg_b, num_sims_max=cfg_b.num_sims, use_noise=False)
+            action_b = clamp_to_valid(
+                argmax_action(k_act, out_b.counts, temp), out_b.root_valids)
+            action = jnp.where(use_a, action, action_b)
 
         if reuse_tree:
             # re-root the mover's fresh search tree AND the opponent's
