@@ -108,7 +108,6 @@ def main(argv=None):
         args.checkpoint, init_params(our_net, spec1, jax.random.PRNGKey(0)))
     mcfg = dataclasses.replace(cfg.mcts, num_sims=args.sims)
     our_player = pl.mcts_player(spec1, our_net, params, mcfg)
-    spec11 = spec1   # match loop below uses spec11 as the stepping engine
 
     def nogod_start(key):
         return np.array(spec1.init(key))
@@ -124,7 +123,7 @@ def main(argv=None):
                  else [ref_player, our_player])
         kg = jax.random.PRNGKey(args.seed + g)
         result, moves = play_host_game(
-            spec11, seats, kg, verbose=False,
+            spec1, seats, kg, verbose=False,
             start_state=nogod_start(jax.random.fold_in(kg, 7)))
         r_ours = result[0] if g % 2 == 0 else result[1]
         wins[0 if r_ours > 0.5 else (1 if r_ours < -0.5 else 2)] += 1

@@ -44,12 +44,13 @@ def _paired_eval(net_a, net_b):
 
 @functools.partial(jax.jit, static_argnames=("spec", "net", "cfg",
                                              "num_games", "temp_half_life",
-                                             "net_b", "reuse_tree", "cfg_b"))
+                                             "net_b", "reuse_tree",
+                                             "reuse_side", "cfg_b"))
 def play_matches(spec: GameSpec, net, params_a, params_b, key, *,
                  cfg: MCTSConfig, num_games: int,
                  temp_half_life: int = 10, net_b=None,
                  init_state=None, reuse_tree: bool = False,
-                 cfg_b=None) -> ArenaResult:
+                 reuse_side: str = "both", cfg_b=None) -> ArenaResult:
     """num_games lanes; lane i seats A as (absolute) player i%2 — the
     reference's 1-2-2-1 alternation exists for tree-reuse fairness
     (Arena.py:120-127).  net_b lets the two players use different
@@ -97,6 +98,10 @@ def play_matches(spec: GameSpec, net, params_a, params_b, key, *,
                 return jnp.where(m, xa, xb)
             init_tree = jax.tree.map(blend, ta, tb)
             rm = jnp.where(use_a, oka, okb)
+            if reuse_side == "a":
+                # asymmetric duel: only player A reuses (for measuring the
+                # Elo value of reuse at equal sims)
+                rm = rm & use_a
         else:
             init_tree, rm = None, None
         out, trees = mcts_search(

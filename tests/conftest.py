@@ -77,6 +77,8 @@ SLOW_PATTERNS = (
     "test_akropolis_parity.py::test_multiplayer_random_game",
     "test_multiplayer_parity.py",
     "test_tree_reuse.py::test_reuse_matches_reference_persistent_mcts",
+    "test_tree_reuse.py::test_arena_reuse_flag_runs",
+    "test_train.py::test_arena_fixed_position_injection",
     # long-tail trims to hold the fast tier under 2 minutes
     "test_export_cli.py::test_export_roundtrip",
     "test_azul_parity.py::test_scores_round_and_batch",
