@@ -27,9 +27,11 @@ import time
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="alphazero_tpu vs reference .pt")
-    p.add_argument("checkpoint", help="our checkpoint dir (no-gods net)")
-    p.add_argument("--ref-dir", default="/root/reference/santorini")
-    p.add_argument("--ref-file", default="pretrained.pt")
+    p.add_argument("checkpoint", help="our checkpoint dir")
+    p.add_argument("--game", choices=("santorini", "splendor"),
+                   default="santorini")
+    p.add_argument("--ref-dir", default=None)
+    p.add_argument("--ref-file", default=None)
     p.add_argument("--num-games", "-n", type=int, default=20)
     p.add_argument("--sims", "-m", type=int, default=100,
                    help="simulations per move for OUR player")
@@ -58,18 +60,34 @@ def main(argv=None):
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
 
-    # patched no-gods reference modules FIRST (SantoriniGame binds the
-    # logic and constants at its own import time)
-    from tests.reference_oracle import import_reference_santorini
-    import_reference_santorini(nb_gods=1, init_method=1)
-    import MCTS as MCTSmod
-    import santorini.SantoriniGame as SG
-    from santorini.NNet import NNetWrapper
+    # patched reference modules FIRST (the Game adapters bind logic and
+    # constants at their own import time)
+    if args.game == "santorini":
+        from tests.reference_oracle import import_reference_santorini
+        import_reference_santorini(nb_gods=1, init_method=1)
+        args.ref_dir = args.ref_dir or "/root/reference/santorini"
+        args.ref_file = args.ref_file or "pretrained.pt"
+        import MCTS as MCTSmod
+        import santorini.SantoriniGame as G
+        from santorini.NNet import NNetWrapper
+        ref_game = G.SantoriniGame()
+        expect_actions = 162
+        our_variant = dict(nb_gods=1, init_method=1)
+    else:
+        from tests.reference_oracle import import_reference_splendor
+        import_reference_splendor(num_players=2)
+        args.ref_dir = args.ref_dir or "/root/reference/splendor"
+        args.ref_file = args.ref_file or "pretrained_2players.pt"
+        import MCTS as MCTSmod
+        import splendor.SplendorGame as G
+        from splendor.NNet import NNetWrapper
+        ref_game = G.SplendorGame()
+        expect_actions = 81
+        our_variant = dict(num_players=2)
     from utils import dotdict
 
-    # --- reference player (patched NB_GODS=1 constants) --------------------
-    ref_game = SG.SantoriniGame()
-    assert ref_game.getActionSize() == 162, ref_game.getActionSize()
+    # --- reference player --------------------------------------------------
+    assert ref_game.getActionSize() == expect_actions, ref_game.getActionSize()
     net = NNetWrapper(ref_game, dict(
         nn_version=-1, learn_rate=3e-4, dropout=0.3, epochs=2, batch_size=32,
         q_weight=0.5, no_compression=True, universes=0))
@@ -101,7 +119,7 @@ def main(argv=None):
     from alphazero_tpu.train.checkpoint import load_checkpoint, load_config
     import jax
 
-    spec1 = make_game("santorini", nb_gods=1, init_method=1)
+    spec1 = make_game(args.game, **our_variant)
     cfg = load_config(args.checkpoint)
     our_net = make_net(spec1, cfg.net)
     params, _, _, _ = load_checkpoint(
