@@ -59,6 +59,8 @@ def build_config(argv=None):
     p.add_argument("--stop-after-N-fail", "-s", type=int, default=25)
     p.add_argument("--selfplay-batch", "-P", type=int, default=256,
                    help="parallel self-play games (lockstep lanes)")
+    p.add_argument("--scan-moves", type=int, default=0,
+                   help="moves per self-play scan (0 = game max length)")
     p.add_argument("--replay-capacity", type=int, default=500_000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--smoke", action="store_true",
@@ -94,7 +96,8 @@ def build_config(argv=None):
             q_dtype=args.tree_dtype, prior_dtype=args.tree_dtype),
         selfplay=SelfPlayConfig(
             batch_size=args.selfplay_batch, temp_begin=args.temperature[0],
-            temp_end=args.temperature[1], temp_half_life=args.tempThreshold),
+            temp_end=args.temperature[1], temp_half_life=args.tempThreshold,
+            scan_moves=args.scan_moves),
         train=TrainConfig(
             learn_rate=args.learn_rate, epochs=args.epochs,
             batch_size=args.batch_size, q_weight=args.q_weight,

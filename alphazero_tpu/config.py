@@ -46,6 +46,10 @@ class SelfPlayConfig:
     temp_begin: float = 1.0        # --temperature[0]
     temp_end: float = 0.1          # --temperature[1]
     temp_half_life: int = 10       # --tempThreshold (<0 => step schedule)
+    scan_moves: int = 0            # moves per self-play scan (0 = the game's
+    #                                max length; smaller trades some wasted
+    #                                unfinished-episode slots for a smaller
+    #                                compiled program)
 
 
 @dataclasses.dataclass(frozen=True)

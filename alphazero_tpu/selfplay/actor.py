@@ -15,6 +15,14 @@ Preserved semantics:
   valid mask, root Q vector) (Coach.py:76-84); symmetry expansion happens at
   training time instead of collection time (same distribution, 8x less
   replay memory)
+
+Two execution shapes:
+- run_selfplay: one device program covering num_moves plies (scan +
+  on-device reverse backfill) — the fast path.
+- run_selfplay_chunked: a host loop stitching shorter scans through an
+  explicit carry, with the reverse backfill on the host.  Exists because
+  long scans of some game engines (splendor at >=48 moves) trip a TPU
+  kernel fault; shorter programs side-step it at identical semantics.
 """
 
 from __future__ import annotations
@@ -24,11 +32,13 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from alphazero_tpu.config import MCTSConfig, SelfPlayConfig
 from alphazero_tpu.games.base import GameSpec
-from alphazero_tpu.search.mcts import (clamp_to_valid, mcts_search, sample_action)
+from alphazero_tpu.search.mcts import (clamp_to_valid, mcts_search,
+                                       sample_action)
 
 
 @struct.dataclass
@@ -58,44 +68,27 @@ def _net_eval(net):
     return eval_fn
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("spec", "net", "mc", "sp", "num_moves",
-                                    "batch_size", "mesh"))
-def run_selfplay(spec: GameSpec, net, params, key, *, mc: MCTSConfig,
-                 sp: SelfPlayConfig, num_moves: int, batch_size: int,
-                 mesh=None) -> Tuple[SelfPlayBatch, SelfPlayStats]:
-    """Play `batch_size` games in lockstep for `num_moves` plies (auto-reset),
-    returning training examples with returns backfilled.
-
-    mesh: optional jax.sharding.Mesh with a 'data' axis — game lanes are
-    sharded over it (SPMD data parallelism; XLA/GSPMD inserts the
-    collectives, SURVEY.md §2.5)."""
-    B = batch_size
+def _one_move_factory(spec: GameSpec, net, params, mc: MCTSConfig,
+                      sp: SelfPlayConfig, B: int):
+    """Build the per-ply step function.  Carry: (states, ep_step,
+    cur_player, k_scan); k_scan rides in the carry so chunked callers can
+    re-key without retracing."""
     P = spec.num_players
     n_fast = max(1, mc.num_sims // mc.ratio_full)
+    n_full = min(B, max(1, round(B * mc.prob_full)))
     eval_fn = _net_eval(net)
     use_noise = mc.dirichlet_alpha != 0
-
-    k_init, k_scan = jax.random.split(key)
-    states0 = jax.vmap(spec.init)(jax.random.split(k_init, B))
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-        states0 = jax.lax.with_sharding_constraint(
-            states0, NamedSharding(
-                mesh, PartitionSpec("data", *([None] * (states0.ndim - 1)))))
 
     # playout-cap randomization by LANE SPLIT: exactly round(B*prob_full)
     # lanes run the full budget, the rest the fast budget, each group in its
     # own right-sized search scan.  Running everyone to num_sims with masked
     # budgets (the naive lockstep PCR) wastes ~(1-prob)*(1-1/ratio) of all
-    # search compute on lanes that finished their budget — measured 2.3x
-    # effective throughput from the split.  (Reference PCR is Bernoulli per
-    # move, MCTS.py:58-59; a fixed fraction has the same mean and less
-    # variance.)
-    n_full = min(B, max(1, round(B * mc.prob_full)))
+    # search compute on lanes that finished their budget.  (Reference PCR is
+    # Bernoulli per move, MCTS.py:58-59; a fixed fraction has the same mean
+    # and less variance.)
 
     def one_move(carry, t):
-        states, ep_step, cur_player = carry
+        states, ep_step, cur_player, k_scan = carry
         kt = jax.random.fold_in(k_scan, t)
         k_full, k_mcts, k_act, k_step, k_reset = jax.random.split(kt, 5)
 
@@ -162,9 +155,39 @@ def run_selfplay(spec: GameSpec, net, params, key, *, mc: MCTSConfig,
                    result_abs=result_abs,
                    sims=jnp.int32(n_full * mc.num_sims
                                   + (B - n_full) * n_fast))
-        return (new_states, new_ep_step, new_player), rec
+        return (new_states, new_ep_step, new_player, k_scan), rec
 
-    carry0 = (states0, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32))
+    return one_move
+
+
+def _init_carry(spec: GameSpec, key, B: int, mesh=None):
+    k_init, k_scan = jax.random.split(key)
+    states0 = jax.vmap(spec.init)(jax.random.split(k_init, B))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        states0 = jax.lax.with_sharding_constraint(
+            states0, NamedSharding(
+                mesh, PartitionSpec("data", *([None] * (states0.ndim - 1)))))
+    return (states0, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+            k_scan)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "net", "mc", "sp", "num_moves",
+                                    "batch_size", "mesh"))
+def run_selfplay(spec: GameSpec, net, params, key, *, mc: MCTSConfig,
+                 sp: SelfPlayConfig, num_moves: int, batch_size: int,
+                 mesh=None) -> Tuple[SelfPlayBatch, SelfPlayStats]:
+    """Play `batch_size` games in lockstep for `num_moves` plies (auto-reset),
+    returning training examples with returns backfilled.
+
+    mesh: optional jax.sharding.Mesh with a 'data' axis — game lanes are
+    sharded over it (SPMD data parallelism; XLA/GSPMD inserts the
+    collectives, SURVEY.md §2.5)."""
+    B = batch_size
+    P = spec.num_players
+    carry0 = _init_carry(spec, key, B, mesh)
+    one_move = _one_move_factory(spec, net, params, mc, sp, B)
     _, recs = jax.lax.scan(one_move, carry0,
                            jnp.arange(num_moves, dtype=jnp.int32))
 
@@ -190,5 +213,70 @@ def run_selfplay(spec: GameSpec, net, params, key, *, mc: MCTSConfig,
         sims=jnp.sum(recs["sims"]),
         avg_game_length=(num_moves * B) /
         jnp.maximum(jnp.sum(recs["done"].astype(jnp.float32)), 1.0),
+    )
+    return batch, stats
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "net", "mc", "sp", "num_moves",
+                                    "batch_size"))
+def _selfplay_chunk(spec, net, params, carry, *, mc, sp, num_moves,
+                    batch_size):
+    one_move = _one_move_factory(spec, net, params, mc, sp, batch_size)
+    carry, recs = jax.lax.scan(one_move, carry,
+                               jnp.arange(num_moves, dtype=jnp.int32))
+    return carry, recs
+
+
+def run_selfplay_chunked(spec: GameSpec, net, params, key, *, mc: MCTSConfig,
+                         sp: SelfPlayConfig, num_moves: int, chunk_moves: int,
+                         batch_size: int
+                         ) -> Tuple[SelfPlayBatch, SelfPlayStats]:
+    """Semantically equivalent to run_selfplay, stitched from
+    ceil(num_moves/chunk_moves) shorter device programs through an explicit
+    carry; the reverse backfill runs on the host over the concatenated
+    records."""
+    B, P = batch_size, spec.num_players
+    carry = _init_carry(spec, key, B)
+    chunks = []
+    done_moves = 0
+    while done_moves < num_moves:
+        n = min(chunk_moves, num_moves - done_moves)
+        # re-key each chunk (k_scan is in the carry; shift it so chunk c's
+        # move t never reuses chunk 0's fold_in stream)
+        states, ep, pl, k_scan = carry
+        carry = (states, ep, pl, jax.random.fold_in(k_scan, 1000 + done_moves))
+        carry, recs = _selfplay_chunk(spec, net, params, carry, mc=mc, sp=sp,
+                                      num_moves=n, batch_size=B)
+        chunks.append(jax.device_get(recs))
+        done_moves += n
+
+    recs = {k: np.concatenate([c[k] for c in chunks], axis=0)
+            for k in chunks[0]}
+    T = recs["state"].shape[0]
+
+    # host reverse backfill (same recurrence as run_selfplay's scan)
+    pending = np.zeros((B, P), np.float32)
+    have = np.zeros((B,), bool)
+    z = np.zeros((T, B, P), np.float32)
+    weight = np.zeros((T, B), np.float32)
+    pidx = np.arange(P)[None, :]
+    for t in range(T - 1, -1, -1):
+        done_t = recs["done"][t]
+        pending = np.where(done_t[:, None], recs["result_abs"][t], pending)
+        have = have | done_t
+        idx = (pidx + recs["player"][t][:, None]) % P   # roll by -player
+        z[t] = np.take_along_axis(pending, idx, axis=1)
+        weight[t] = (have & recs["full"][t]).astype(np.float32)
+
+    batch = SelfPlayBatch(state=recs["state"], pi=recs["pi"], z=z,
+                          q=recs["q"], valids=recs["valids"], weight=weight)
+    episodes = int(recs["done"].sum())
+    stats = SelfPlayStats(
+        episodes_done=np.int32(episodes),
+        examples=np.int32((weight > 0).sum()),
+        moves=np.int32(T * B),
+        sims=np.int64(recs["sims"].sum()),
+        avg_game_length=np.float32(T * B / max(episodes, 1)),
     )
     return batch, stats

@@ -107,15 +107,23 @@ class Coach:
         cfg = self.cfg
         B = cfg.selfplay.batch_size
         num_moves = self.spec.max_game_length
+        chunk = cfg.selfplay.scan_moves
         episodes = 0
         examples = 0
         sims = 0
         t0 = time.time()
         while episodes < cfg.train.games_per_iter:
-            batch, stats = run_selfplay(
-                self.spec, self.net, self.state.params, self._next_key(),
-                mc=cfg.mcts, sp=cfg.selfplay, num_moves=num_moves,
-                batch_size=B, mesh=self.mesh)
+            if chunk and chunk < num_moves:
+                from alphazero_tpu.selfplay.actor import run_selfplay_chunked
+                batch, stats = run_selfplay_chunked(
+                    self.spec, self.net, self.state.params, self._next_key(),
+                    mc=cfg.mcts, sp=cfg.selfplay, num_moves=num_moves,
+                    chunk_moves=chunk, batch_size=B)
+            else:
+                batch, stats = run_selfplay(
+                    self.spec, self.net, self.state.params, self._next_key(),
+                    mc=cfg.mcts, sp=cfg.selfplay, num_moves=num_moves,
+                    batch_size=B, mesh=self.mesh)
             examples += self.replay.add_batch(jax.device_get(batch))
             episodes += int(stats.episodes_done)
             sims += int(stats.sims)
