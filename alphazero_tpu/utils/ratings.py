@@ -35,7 +35,12 @@ def _g(phi):
 
 
 def _expect(mu, mu_j, phi_j):
-    return 1.0 / (1.0 + math.exp(-_g(phi_j) * (mu - mu_j)))
+    # clamped away from 0/1: at extreme rating gaps E*(1-E) underflows and
+    # the variance inverse v_inv becomes 0 (division by zero on a clean
+    # sweep, e.g. trained net 128-0 vs random)
+    x = min(max(-_g(phi_j) * (mu - mu_j), -700.0), 700.0)
+    e = 1.0 / (1.0 + math.exp(x))
+    return min(max(e, 1e-12), 1.0 - 1e-12)
 
 
 def update(player: Rating, opponents: Sequence[Rating],

@@ -93,3 +93,18 @@ def test_greedy_player_host_interface():
     players = [greedy_player(spec), random_player(spec)]
     result, _ = play_host_game(spec, players, jax.random.PRNGKey(2))
     assert result.shape == (2,)
+
+
+def test_glicko_update_sweep_edge_case():
+    """A clean sweep at an extreme rating gap must not divide by zero
+    (E*(1-E) underflow guard in utils/ratings._expect)."""
+    from alphazero_tpu.utils.ratings import Rating, update, update_pair
+    strong = Rating(3000.0, 60.0, 0.06)
+    weak = Rating(500.0, 60.0, 0.06)
+    r = update(strong, [weak] * 128, [1.0] * 128)
+    assert r.rating >= strong.rating - 1.0
+    ratings = {}
+    update_pair(ratings, "a", "b", 128, 0, 0)
+    update_pair(ratings, "a", "b", 128, 0, 0)
+    update_pair(ratings, "a", "b", 128, 0, 0)
+    assert ratings["a"].rating > ratings["b"].rating
