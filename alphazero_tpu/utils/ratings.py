@@ -97,6 +97,12 @@ def update(player: Rating, opponents: Sequence[Rating],
     new_mu = mu + new_phi ** 2 * sum(
         _g(pj) * (s - _expect(mu, mj, pj))
         for mj, pj, s in zip(mus, phis, scores))
+    # numeric guards: clean sweeps at extreme gaps make v explode, which can
+    # blow up the volatility iteration and the mean step; one rating period
+    # over any real game set cannot justify a jump past a few hundred points
+    new_mu = min(max(new_mu, mu - 3.0), mu + 3.0)        # ±~520 rating pts
+    new_vol = min(max(new_vol, 1e-4), 0.5)
+    new_phi = min(max(new_phi, 10.0 / GLICKO2_SCALE), 350.0 / GLICKO2_SCALE)
     return Rating(new_mu * GLICKO2_SCALE + 1500.0,
                   new_phi * GLICKO2_SCALE, new_vol)
 
