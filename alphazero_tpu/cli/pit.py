@@ -58,6 +58,10 @@ def main(argv=None):
     p.add_argument("--reuse-tree", action="store_true",
                    help="carry each player's search tree across its moves "
                         "(reference MCTS persistence, MCTS.py:85-91)")
+    p.add_argument("--host-arena", action="store_true",
+                   help="drive the arena with a host move loop (per-move "
+                        "jit programs) instead of one whole-game scan — "
+                        "required for --reuse-tree on the TPU worker")
     p.add_argument("--numMCTSSims", "-m", type=int, default=0,
                    help="override sims (0 = use checkpoint value)")
     p.add_argument("--variant", default="{}")
@@ -76,7 +80,8 @@ def main(argv=None):
     from alphazero_tpu.config import Config, MCTSConfig, NetConfig
     from alphazero_tpu.games import make_game
     from alphazero_tpu.models import init_params, make_net
-    from alphazero_tpu.train.arena import play_matches, play_vs_random
+    from alphazero_tpu.train.arena import (play_matches, play_matches_host,
+                                           play_vs_random)
     from alphazero_tpu.train.checkpoint import load_checkpoint, load_config
     from alphazero_tpu.utils.ratings import (load_ratings, save_ratings,
                                              update_pair)
@@ -120,11 +125,12 @@ def main(argv=None):
             import dataclasses as _dc
             mc_ = _dc.replace(mc_, num_sims=args.numMCTSSims)
         if kind_a == "mcts" and kind_b == "mcts":
-            return play_matches(spec, make_net(spec, neta), pa, pb,
-                                jax.random.PRNGKey(seed), cfg=mc_,
-                                num_games=args.num_games,
-                                net_b=make_net(spec, netb),
-                                reuse_tree=args.reuse_tree)
+            matches = play_matches_host if args.host_arena else play_matches
+            return matches(spec, make_net(spec, neta), pa, pb,
+                           jax.random.PRNGKey(seed), cfg=mc_,
+                           num_games=args.num_games,
+                           net_b=make_net(spec, netb),
+                           reuse_tree=args.reuse_tree)
         if "mcts" in (kind_a, kind_b) and "random" in (kind_a, kind_b):
             params, ncfg = (pa, neta) if kind_a == "mcts" else (pb, netb)
             net = make_net(spec, ncfg)
@@ -219,11 +225,12 @@ def main(argv=None):
             print(f"game {g}: result {result.tolist()} in {moves} moves")
         res = ArenaResult(*(int(w) for w in wins), 0)
     elif kind_a == "mcts" and kind_b == "mcts":
-        res = play_matches(spec, make_net(spec, neta), pa, pb,
-                           jax.random.PRNGKey(args.seed),
-                           cfg=mc, num_games=args.num_games,
-                           net_b=make_net(spec, netb), init_state=start,
-                           reuse_tree=args.reuse_tree)
+        matches = play_matches_host if args.host_arena else play_matches
+        res = matches(spec, make_net(spec, neta), pa, pb,
+                      jax.random.PRNGKey(args.seed),
+                      cfg=mc, num_games=args.num_games,
+                      net_b=make_net(spec, netb), init_state=start,
+                      reuse_tree=args.reuse_tree)
     elif "mcts" in (kind_a, kind_b) and "random" in (kind_a, kind_b):
         params, ncfg = (pa, neta) if kind_a == "mcts" else (pb, netb)
         net = make_net(spec, ncfg)

@@ -275,13 +275,13 @@ def expand_batch(tree: Tree, walk: WalkOut, child_state, child_swap,
 
     N = tree.prior.shape[1]
     wmask = active & is_new & (new_idx < N)   # full-arena guard (tree reuse)
+    # Masked-off lanes write to an out-of-bounds row and are DROPPED by the
+    # scatter — one write pass per array, no old-row gather for blending.
+    safe_idx = jnp.where(wmask, new_idx, N)
 
     def row(arr, val):
-        val = jnp.asarray(val, arr.dtype)
-        old_row = arr[bidx, new_idx]
-        shape = (B,) + (1,) * (old_row.ndim - 1)
-        return arr.at[bidx, new_idx].set(
-            jnp.where(wmask.reshape(shape), val, old_row))
+        return arr.at[bidx, safe_idx].set(jnp.asarray(val, arr.dtype),
+                                          mode="drop")
 
     pr = jnp.where(child_valids, child_prior.astype(tree.prior.dtype),
                    jnp.asarray(-1, tree.prior.dtype))
@@ -293,11 +293,10 @@ def expand_batch(tree: Tree, walk: WalkOut, child_state, child_swap,
         is_term=row(tree.is_term, child_is_term),
         term_val=row(tree.term_val, child_term),
         parent=row(tree.parent, walk.parent),
-        children=tree.children.at[bidx, walk.parent, walk.action].set(
-            jnp.where(wmask,
-                      jnp.where(child_is_term, -2 - new_idx, new_idx
-                                ).astype(tree.children.dtype),
-                      tree.children[bidx, walk.parent, walk.action])),
+        children=tree.children.at[
+            bidx, jnp.where(wmask, walk.parent, N), walk.action].set(
+            jnp.where(child_is_term, -2 - new_idx, new_idx
+                      ).astype(tree.children.dtype), mode="drop"),
         next_free=tree.next_free + wmask.astype(jnp.int32),
     )
     return tree, leaf, v_leaf, leaf_swap

@@ -42,6 +42,44 @@ def _paired_eval(net_a, net_b):
     return eval_fn
 
 
+def _match_setup(spec: GameSpec, net, key, *, cfg: MCTSConfig,
+                 num_games: int, net_b, init_state, reuse_tree):
+    """Shared state init for the scan-mode and host-mode match runners."""
+    B = num_games
+    P = spec.num_players
+    eval_fn = _paired_eval(net, net_b if net_b is not None else net)
+    extra = cfg.num_sims if reuse_tree else 0
+    N = cfg.num_sims + 1 + extra
+
+    k_init, k_scan = jax.random.split(key)
+    if init_state is None:
+        states0 = jax.vmap(spec.init)(jax.random.split(k_init, B))
+    else:
+        states0 = jnp.broadcast_to(
+            jnp.asarray(init_state, jnp.int8), (B, *spec.state_shape))
+    seat_a = jnp.arange(B, dtype=jnp.int32) % P   # absolute seat of player A
+
+    tree0 = make_tree(spec, B, N, jnp.dtype(cfg.q_dtype),
+                      jnp.dtype(cfg.prior_dtype))
+    ok0 = jnp.zeros((B,), bool)
+    carry0 = (states0, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool),
+              jnp.zeros((B, P), jnp.float32), tree0, tree0, ok0, ok0)
+    return eval_fn, extra, N, seat_a, k_scan, carry0
+
+
+def _score(result, done, seat_a) -> ArenaResult:
+    """Score from each player's seat (reference counts gameResult == +-1,
+    Arena.py:128-133; draw codes like +-0.01 count as draws)."""
+    res_a = jnp.take_along_axis(result, seat_a[:, None], axis=1)[:, 0]
+    one_wins = jnp.sum((res_a > 0.5) & done)
+    two_wins = jnp.sum((res_a < -0.5) & done)
+    draws = jnp.sum((jnp.abs(res_a) <= 0.5) & done)
+    return ArenaResult(one_wins.astype(jnp.int32),
+                       two_wins.astype(jnp.int32),
+                       draws.astype(jnp.int32),
+                       jnp.sum(~done).astype(jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "net", "cfg",
                                              "num_games", "temp_half_life",
                                              "net_b", "reuse_tree",
@@ -65,25 +103,65 @@ def play_matches(spec: GameSpec, net, params_a, params_b, key, *,
     BOTH players' carried trees are re-rooted through the played action
     (the mover's directly; the opponent's to keep it synced with the
     position), at the cost of a 2x-sims-wide node arena and two
-    extract_subtree passes per ply."""
+    extract_subtree passes per ply.  On platforms where the resulting
+    whole-game scan program is too large (the axon TPU worker faults on
+    it), use play_matches_host instead — same semantics, host move loop."""
     B = num_games
+    eval_fn, extra, N, seat_a, k_scan, carry0 = _match_setup(
+        spec, net, key, cfg=cfg, num_games=num_games, net_b=net_b,
+        init_state=init_state, reuse_tree=reuse_tree)
+    one_move = _match_move_factory(
+        spec, eval_fn, params_a, params_b, seat_a, k_scan, cfg=cfg,
+        cfg_b=cfg_b, extra=extra, N=N, temp_half_life=temp_half_life,
+        reuse_tree=reuse_tree, reuse_side=reuse_side)
+    (_, _, done, result, *_), _ = jax.lax.scan(
+        one_move, carry0, jnp.arange(spec.max_game_length, dtype=jnp.int32))
+    return _score(result, done, seat_a)
+
+
+def play_matches_host(spec: GameSpec, net, params_a, params_b, key, *,
+                      cfg: MCTSConfig, num_games: int,
+                      temp_half_life: int = 10, net_b=None,
+                      init_state=None, reuse_tree: bool = False,
+                      reuse_side: str = "both", cfg_b=None) -> ArenaResult:
+    """play_matches semantics driven by a HOST move loop: one per-move jitted
+    program instead of one whole-game scan.  The tree-reuse body (search +
+    two extract_subtree passes, scanned over max_game_length plies) compiles
+    to a program large enough to fault the axon TPU worker; per-move
+    programs side-step that and allow early exit once every lane finishes.
+
+    Statistically equivalent to the scan runner, not bitwise: XLA fuses the
+    standalone per-move program differently from the scan body, and the
+    reassociated float numerics can flip near-tie argmax moves in individual
+    games (measured on CPU; win totals agree within seat noise)."""
+    B = num_games
+    eval_fn, extra, N, seat_a, k_scan, carry = _match_setup(
+        spec, net, key, cfg=cfg, num_games=num_games, net_b=net_b,
+        init_state=init_state, reuse_tree=reuse_tree)
+    one_move = _match_move_factory(
+        spec, eval_fn, params_a, params_b, seat_a, k_scan, cfg=cfg,
+        cfg_b=cfg_b, extra=extra, N=N, temp_half_life=temp_half_life,
+        reuse_tree=reuse_tree, reuse_side=reuse_side)
+    # deep-copy so every donated leaf is a distinct buffer (zeros of equal
+    # shape/dtype — and the two tree arenas — may alias the same constant)
+    carry = jax.tree.map(jnp.copy, carry)
+    body = jax.jit(lambda c, t: one_move(c, t)[0], donate_argnums=(0,))
+    for t in range(spec.max_game_length):
+        carry = body(carry, jnp.int32(t))
+        if bool(jnp.all(carry[2])):          # all lanes done
+            break
+    _, _, done, result, *_ = carry
+    return _score(result, done, seat_a)
+
+
+def _match_move_factory(spec: GameSpec, eval_fn, params_a, params_b, seat_a,
+                        k_scan, *, cfg: MCTSConfig, cfg_b, extra: int, N: int,
+                        temp_half_life: int, reuse_tree: bool,
+                        reuse_side: str):
+    """One arena ply (search both sides, pick, step, re-root carried trees);
+    shared by the scan-mode and host-mode runners."""
+    B = seat_a.shape[0]
     P = spec.num_players
-    eval_fn = _paired_eval(net, net_b if net_b is not None else net)
-    extra = cfg.num_sims if reuse_tree else 0
-    N = cfg.num_sims + 1 + extra
-
-    k_init, k_scan = jax.random.split(key)
-    if init_state is None:
-        states0 = jax.vmap(spec.init)(jax.random.split(k_init, B))
-    else:
-        states0 = jnp.broadcast_to(
-            jnp.asarray(init_state, jnp.int8), (B, *spec.state_shape))
-    seat_a = jnp.arange(B, dtype=jnp.int32) % P   # absolute seat of player A
-
-    qdt = jnp.dtype(cfg.q_dtype)
-    pdt = jnp.dtype(cfg.prior_dtype)
-    tree0 = make_tree(spec, B, N, qdt, pdt)
-    ok0 = jnp.zeros((B,), bool)
 
     def one_move(carry, t):
         states, cur_player, done, result, ta, tb, oka, okb = carry
@@ -164,21 +242,7 @@ def play_matches(spec: GameSpec, net, params_a, params_b, key, *,
         done = done | new_done
         return (states, cur_player, done, result, ta, tb, oka, okb), None
 
-    carry0 = (states0, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool),
-              jnp.zeros((B, P), jnp.float32), tree0, tree0, ok0, ok0)
-    (_, _, done, result, *_), _ = jax.lax.scan(
-        one_move, carry0, jnp.arange(spec.max_game_length, dtype=jnp.int32))
-
-    # score from each player's seat (reference counts gameResult == +-1,
-    # Arena.py:128-133; draw codes like +-0.01 count as draws)
-    res_a = jnp.take_along_axis(result, seat_a[:, None], axis=1)[:, 0]
-    one_wins = jnp.sum((res_a > 0.5) & done)
-    two_wins = jnp.sum((res_a < -0.5) & done)
-    draws = jnp.sum((jnp.abs(res_a) <= 0.5) & done)
-    return ArenaResult(one_wins.astype(jnp.int32),
-                       two_wins.astype(jnp.int32),
-                       draws.astype(jnp.int32),
-                       jnp.sum(~done).astype(jnp.int32))
+    return one_move
 
 
 def _mcts_vs_random_eval(net):

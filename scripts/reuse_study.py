@@ -26,7 +26,7 @@ def main():
 
     from alphazero_tpu.games import make_game
     from alphazero_tpu.models import init_params, make_net
-    from alphazero_tpu.train.arena import play_matches
+    from alphazero_tpu.train.arena import play_matches_host
     from alphazero_tpu.train.checkpoint import load_checkpoint, load_config
 
     cfg = load_config(args.ckpt)
@@ -36,9 +36,10 @@ def main():
         args.ckpt, init_params(net, spec, jax.random.PRNGKey(0)))
     mc = dataclasses.replace(cfg.mcts, num_sims=args.sims)
 
-    res = play_matches(spec, net, params, params, jax.random.PRNGKey(3),
-                       cfg=mc, num_games=args.games, reuse_tree=True,
-                       reuse_side="a")
+    # host move loop: the whole-game reuse scan faults the axon TPU worker
+    res = play_matches_host(spec, net, params, params, jax.random.PRNGKey(3),
+                            cfg=mc, num_games=args.games, reuse_tree=True,
+                            reuse_side="a")
     one, two, dr = int(res.one_wins), int(res.two_wins), int(res.draws)
     wr = (one + 0.5 * dr) / max(one + two + dr, 1)
     wr_c = min(max(wr, 1e-6), 1 - 1e-6)

@@ -92,6 +92,31 @@ def test_arena_self_match_balanced(setup):
     assert 6 <= int(res.one_wins) <= 26
 
 
+def _host_runner_check(setup, reuse):
+    """The host move-loop runner completes every game and lands in the same
+    statistical regime as the scan runner (bitwise equality is NOT expected:
+    XLA compiles the standalone per-move program with different float
+    reassociation than the scan body, which can flip near-tie moves)."""
+    from alphazero_tpu.train.arena import play_matches_host
+    spec, net, params = setup
+    res = play_matches_host(spec, net, params, params, jax.random.PRNGKey(3),
+                            cfg=MCTSConfig(num_sims=12), num_games=16,
+                            reuse_tree=reuse)
+    total = int(res.one_wins) + int(res.two_wins) + int(res.draws)
+    assert total == 16, (reuse, res)
+    assert int(res.unfinished) == 0
+    assert 2 <= int(res.one_wins) <= 14
+
+
+def test_arena_host_runner(setup):
+    _host_runner_check(setup, reuse=False)
+
+
+@pytest.mark.slow
+def test_arena_host_runner_reuse(setup):
+    _host_runner_check(setup, reuse=True)
+
+
 def test_checkpoint_roundtrip(setup, tmp_path):
     spec, net, params = setup
     cfg = Config(game=GameConfig(name="santorini",
