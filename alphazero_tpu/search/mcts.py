@@ -146,7 +146,7 @@ def mcts_search(spec: GameSpec, eval_fn: EvalFn, eval_args,
     # read-modify-write with the PUCT pass into ONE traversal of the
     # (B, N, A) arrays instead of two (backup writes, PUCT re-reads).
     def one_sim(carry, sim_idx):
-        trees, best = carry
+        trees, best, code = carry
         active = sim_idx < eff_budgets                  # (B,)
         skey = jax.random.fold_in(key, sim_idx)
         # universes: deterministic chance seed per simulation
@@ -157,7 +157,7 @@ def mcts_search(spec: GameSpec, eval_fn: EvalFn, eval_args,
             seed = jnp.int32(-1)
         seeds = jnp.full((B,), seed, jnp.int32)
 
-        walk = walk_path(trees, best, depth_cap=cfg.max_depth)
+        walk = walk_path(trees, best, code, depth_cap=cfg.max_depth)
 
         parent_states = trees.states[jnp.arange(B), walk.parent]
         step_keys = jax.random.split(skey, B)
@@ -172,14 +172,14 @@ def mcts_search(spec: GameSpec, eval_fn: EvalFn, eval_args,
             trees, walk, child_state, child_swap, child_valids, child_prior,
             child_value, child_term, active)
         trees = backup_dense(trees, walk, best, v_leaf, leaf_swap, active)
-        best_next = dense_best_action(trees, cfg.cpuct, cfg.fpu, forced_mask,
-                                      sim_idx + 1)
-        return (trees, best_next), None
+        best_next, code_next = dense_best_action(
+            trees, cfg.cpuct, cfg.fpu, forced_mask, sim_idx + 1)
+        return (trees, best_next, code_next), None
 
-    best0 = dense_best_action(trees, cfg.cpuct, cfg.fpu, forced_mask,
-                              jnp.int32(1))
-    (trees, _), _ = jax.lax.scan(one_sim, (trees, best0),
-                                 jnp.arange(1, n_steps, dtype=jnp.int32))
+    best0, code0 = dense_best_action(trees, cfg.cpuct, cfg.fpu, forced_mask,
+                                     jnp.int32(1))
+    (trees, _, _), _ = jax.lax.scan(one_sim, (trees, best0, code0),
+                                    jnp.arange(1, n_steps, dtype=jnp.int32))
 
     # --- outputs (reference getActionProb, MCTS.py:67-83) -------------------
     counts = trees.nsa[:, 0].astype(jnp.float32)        # (B, A)

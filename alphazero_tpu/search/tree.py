@@ -129,7 +129,11 @@ def dense_best_action(tree: Tree, cpuct: float, fpu: float, forced_root,
 
     forced_root: (B,) bool — forced playouts, applied at the root row only
     (the reference recurses with forced_playouts=False, MCTS.py:175).
-    Returns best (B, N) int32.
+    Returns (best, code), both (B, N) int32: code is the children entry
+    along best (the next-node code walk_path follows).  Gathering it here —
+    in the same traversal as the PUCT argmax — lets XLA fuse the children
+    read with the prior/nsa/qsa pass instead of paying a separate
+    (B, N, A) pass at walk time.
     """
     qdt = tree.qs.dtype
     valid = tree.prior >= 0
@@ -156,7 +160,10 @@ def dense_best_action(tree: Tree, cpuct: float, fpu: float, forced_root,
     fmask = valid[:, 0] & (Nsa[:, 0] < thr) & forced_root[:, None]
     root_forced = jnp.argmax(fmask, axis=-1).astype(jnp.int32)
     root_best = jnp.where(jnp.any(fmask, axis=-1), root_forced, best[:, 0])
-    return best.at[:, 0].set(root_best)
+    best = best.at[:, 0].set(root_best)
+    code = jnp.take_along_axis(
+        tree.children, best[..., None], axis=2)[..., 0].astype(jnp.int32)
+    return best, code
 
 
 class WalkOut(NamedTuple):
@@ -171,7 +178,7 @@ class WalkOut(NamedTuple):
     psum: jax.Array        # (B,) int32 — swap prefix sum at parent
 
 
-def walk_path(tree: Tree, best, depth_cap: int = 0) -> WalkOut:
+def walk_path(tree: Tree, best, code, depth_cap: int = 0) -> WalkOut:
     """Follow the precomputed best actions from the root, on tiny (B, N)
     maps.  Stops at an unexpanded edge, a terminal child, or the depth cap.
 
@@ -193,11 +200,9 @@ def walk_path(tree: Tree, best, depth_cap: int = 0) -> WalkOut:
     cap = depth_cap if depth_cap > 0 else 0x7FFFFFF0
     iota = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
 
-    # one children pass: next-node code per (b, n) along the best action
-    # (terminality is already encoded in children, see Tree docstring)
-    code = jnp.take_along_axis(
-        tree.children, best[..., None].astype(jnp.int32), axis=2
-    )[..., 0].astype(jnp.int32)                               # (B, N)
+    # `code` is the children entry along best (terminality encoded, see Tree
+    # docstring), gathered by dense_best_action in the same traversal as the
+    # PUCT argmax so the children read costs no separate (B, N, A) pass
     packed = jnp.stack(
         [best, code, tree.swap.astype(jnp.int32)], axis=-1)   # (B, N, 3)
 

@@ -136,9 +136,9 @@ def main():
     def walk_r(c, r):
         def body(i, cc):
             tr, acc = cc
-            best = T.dense_best_action(tr, mc.cpuct, mc.fpu,
-                                       jnp.full((B,), True), i + 1)
-            w = T.walk_path(tr, best)
+            best, code = T.dense_best_action(tr, mc.cpuct, mc.fpu,
+                                             jnp.full((B,), True), i + 1)
+            w = T.walk_path(tr, best, code)
             return tr, acc + jnp.sum(w.depth)
         return jax.lax.fori_loop(0, r, body, (c, jnp.int32(0)))
 
