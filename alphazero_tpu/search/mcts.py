@@ -159,7 +159,14 @@ def mcts_search(spec: GameSpec, eval_fn: EvalFn, eval_args,
 
         walk = walk_path(trees, best, code, depth_cap=cfg.max_depth)
 
-        parent_states = trees.states[jnp.arange(B), walk.parent]
+        # row select via masked reduce (adv-index gathers lower poorly here;
+        # exactly one row is selected per lane so the sum IS the row)
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, trees.states.shape[:2], 1)
+        sel = (iota_n == walk.parent[:, None]).reshape(
+            trees.states.shape[:2] + (1,) * (trees.states.ndim - 2))
+        parent_states = jnp.sum(
+            jnp.where(sel, trees.states, 0), axis=1,
+            dtype=trees.states.dtype)
         step_keys = jax.random.split(skey, B)
         child_state, child_swap = jax.vmap(spec.step_canonical)(
             parent_states, walk.action, step_keys, seeds)

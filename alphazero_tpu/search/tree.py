@@ -130,10 +130,13 @@ def dense_best_action(tree: Tree, cpuct: float, fpu: float, forced_root,
     forced_root: (B,) bool — forced playouts, applied at the root row only
     (the reference recurses with forced_playouts=False, MCTS.py:175).
     Returns (best, code), both (B, N) int32: code is the children entry
-    along best (the next-node code walk_path follows).  Gathering it here —
+    along best (the next-node code walk_path follows).  Selecting it here —
     in the same traversal as the PUCT argmax — lets XLA fuse the children
     read with the prior/nsa/qsa pass instead of paying a separate
-    (B, N, A) pass at walk time.
+    (B, N, A) pass at walk time.  The select is a masked reduce, NOT
+    take_along_axis: a minor-dim gather lowers to ~13 GB/s on this chip
+    while the equivalent where+sum runs at elementwise speed (measured 5x
+    on the fused pass, scripts/platform_probe4.py).
     """
     qdt = tree.qs.dtype
     valid = tree.prior >= 0
@@ -161,8 +164,10 @@ def dense_best_action(tree: Tree, cpuct: float, fpu: float, forced_root,
     root_forced = jnp.argmax(fmask, axis=-1).astype(jnp.int32)
     root_best = jnp.where(jnp.any(fmask, axis=-1), root_forced, best[:, 0])
     best = best.at[:, 0].set(root_best)
-    code = jnp.take_along_axis(
-        tree.children, best[..., None], axis=2)[..., 0].astype(jnp.int32)
+    iota_a = jax.lax.broadcasted_iota(jnp.int32, tree.children.shape, 2)
+    sel = iota_a == best[..., None]
+    code = jnp.sum(jnp.where(sel, tree.children.astype(jnp.int32), 0),
+                   axis=-1, dtype=jnp.int32)
     return best, code
 
 
@@ -182,10 +187,12 @@ def walk_path(tree: Tree, best, code, depth_cap: int = 0) -> WalkOut:
     """Follow the precomputed best actions from the root, on tiny (B, N)
     maps.  Stops at an unexpanded edge, a terminal child, or the depth cap.
 
-    Per-level cost is op-overhead-bound, so the per-node walk data (best
-    action, next-node code, swap) is packed into ONE (B, N, 3) map — a
-    single gather per level instead of four — and the "terminal child" /
-    "unexpanded" stop conditions are folded into the next-node code:
+    Per-level cost is pass-overhead-bound, so the per-node walk data (best
+    action, next-node code, swap) is packed into ONE (B, 3, N) map — N on
+    the minor (lane) axis so nothing pads to 128 — read by a masked reduce
+    per level (a take_along_axis row gather costs ~10x more on this chip,
+    scripts/platform_probe4.py), and the "terminal child" / "unexpanded"
+    stop conditions are folded into the next-node code:
         code >= 0   -> interior child `code`
         code == -1  -> unexpanded edge (new leaf)
         code <= -2  -> terminal child (-2 - code)
@@ -201,13 +208,15 @@ def walk_path(tree: Tree, best, code, depth_cap: int = 0) -> WalkOut:
     iota = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
 
     # `code` is the children entry along best (terminality encoded, see Tree
-    # docstring), gathered by dense_best_action in the same traversal as the
+    # docstring), selected by dense_best_action in the same traversal as the
     # PUCT argmax so the children read costs no separate (B, N, A) pass
     packed = jnp.stack(
-        [best, code, tree.swap.astype(jnp.int32)], axis=-1)   # (B, N, 3)
+        [best, code, tree.swap.astype(jnp.int32)], axis=1)    # (B, 3, N)
 
     def row_at(idx):
-        r = jnp.take_along_axis(packed, idx[:, None, None], axis=1)[:, 0]
+        sel = iota[:, None, :] == idx[:, None, None]          # (B, 1, N)
+        r = jnp.sum(jnp.where(sel, packed, 0), axis=2,
+                    dtype=jnp.int32)                              # (B, 3)
         return r[:, 0], r[:, 1], r[:, 2]                      # a, code, swap
 
     def cond_fn(c):
@@ -256,37 +265,55 @@ def expand_batch(tree: Tree, walk: WalkOut, child_state, child_swap,
     """
     B = walk.parent.shape[0]
     Np = tree.term_val.shape[2]
-    bidx = jnp.arange(B)
     is_new = walk.existing < 0
     child_is_term = jnp.any(child_term != 0, axis=-1)
     new_idx = tree.next_free
     leaf = jnp.where(is_new, new_idx, walk.existing)
 
     old = jnp.maximum(walk.existing, 0)
-    stored_term = tree.term_val[bidx, old]
+    # all reads of row `old` via one masked reduce over N (gathers lower
+    # poorly on this chip; exactly one row is selected so the sum IS it)
+    N_ = tree.qs.shape[1]
+    old_sel = (jax.lax.broadcasted_iota(jnp.int32, (B, N_), 1)
+               == old[:, None])                                # (B, N)
+    stored_term = jnp.sum(
+        jnp.where(old_sel[..., None], tree.term_val, 0.0), axis=1,
+        dtype=tree.term_val.dtype)
     # cap-stopped interior revisit: expand the stored scalar Q per player
-    q_old = tree.qs[bidx, old].astype(jnp.float32)
+    q_old = jnp.sum(jnp.where(old_sel, tree.qs.astype(jnp.float32), 0.0),
+                    axis=1, dtype=jnp.float32)
+    old_is_term = jnp.any(old_sel & tree.is_term, axis=1)
+    old_swap = jnp.sum(jnp.where(old_sel, tree.swap, 0), axis=1,
+                       dtype=tree.swap.dtype)
     stored_q = jnp.concatenate(
         [q_old[:, None], jnp.tile(-q_old[:, None] / (Np - 1), (1, Np - 1))],
         axis=1)
-    stored_v = jnp.where(tree.is_term[bidx, old][:, None], stored_term,
-                         stored_q)
+    stored_v = jnp.where(old_is_term[:, None], stored_term, stored_q)
     v_leaf = jnp.where(is_new[:, None],
                        jnp.where(child_is_term[:, None], child_term,
                                  child_value),
                        stored_v)
     leaf_swap = jnp.where(is_new, child_swap,
-                          tree.swap[bidx, old].astype(child_swap.dtype))
+                          old_swap.astype(child_swap.dtype))
 
     N = tree.prior.shape[1]
     wmask = active & is_new & (new_idx < N)   # full-arena guard (tree reuse)
-    # Masked-off lanes write to an out-of-bounds row and are DROPPED by the
-    # scatter — one write pass per array, no old-row gather for blending.
-    safe_idx = jnp.where(wmask, new_idx, N)
+    # Row installs are where-blends, not scatters: a row scatter lowers to a
+    # full copy of its operand anyway on this chip, and the blend runs at
+    # elementwise speed (~25% faster measured, scripts/platform_probe4.py).
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+    row_sel = wmask[:, None] & (iota_n == new_idx[:, None])   # (B, N)
 
     def row(arr, val):
-        return arr.at[bidx, safe_idx].set(jnp.asarray(val, arr.dtype),
-                                          mode="drop")
+        v = jnp.expand_dims(jnp.asarray(val, arr.dtype), 1)
+        m = row_sel.reshape((B, N) + (1,) * (arr.ndim - 2))
+        return jnp.where(m, v, arr)
+
+    iota_a = jax.lax.broadcasted_iota(jnp.int32, tree.children.shape, 2)
+    edge_sel = ((wmask[:, None] & (iota_n == walk.parent[:, None]))[..., None]
+                & (iota_a == walk.action[:, None, None]))
+    code_new = jnp.where(child_is_term, -2 - new_idx,
+                         new_idx).astype(tree.children.dtype)
 
     pr = jnp.where(child_valids, child_prior.astype(tree.prior.dtype),
                    jnp.asarray(-1, tree.prior.dtype))
@@ -298,10 +325,7 @@ def expand_batch(tree: Tree, walk: WalkOut, child_state, child_swap,
         is_term=row(tree.is_term, child_is_term),
         term_val=row(tree.term_val, child_term),
         parent=row(tree.parent, walk.parent),
-        children=tree.children.at[
-            bidx, jnp.where(wmask, walk.parent, N), walk.action].set(
-            jnp.where(child_is_term, -2 - new_idx, new_idx
-                      ).astype(tree.children.dtype), mode="drop"),
+        children=jnp.where(edge_sel, code_new[:, None, None], tree.children),
         next_free=tree.next_free + wmask.astype(jnp.int32),
     )
     return tree, leaf, v_leaf, leaf_swap
@@ -327,8 +351,13 @@ def backup_dense(tree: Tree, walk: WalkOut, best, v_leaf, leaf_swap,
     suffix = (walk.psum[:, None] - walk.scum
               + leaf_swap.astype(jnp.int32)[:, None])         # (B, N)
     # v0 per node: v_leaf rolled by suffix, component 0 => index (-suffix)%P
+    # (selected by static comparison over the <=5 player slots — a gather
+    # from a (B, P) operand to a (B, N) output lowers poorly here)
     idx = (-suffix) % Np
-    v0 = jnp.take_along_axis(v_leaf.astype(qdt), idx, axis=1)  # (B, N)
+    vq = v_leaf.astype(qdt)
+    v0 = jnp.zeros_like(tree.qs)
+    for p in range(Np):
+        v0 = jnp.where(idx == p, vq[:, p, None], v0)
 
     iota_a = jax.lax.broadcasted_iota(jnp.int32, (B, N, A), 2)
     sel = on[..., None] & (iota_a == best[..., None])
