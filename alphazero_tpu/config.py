@@ -35,6 +35,13 @@ class MCTSConfig:
     #                                (>1 amortizes TPU loop-control sync at
     #                                the cost of masked wasted levels;
     #                                measured neutral on the TPU bench)
+    arena_stages: int = 4          # run the sim scan in k stages over growing
+    #                                node arenas (sim s only needs s+1 nodes,
+    #                                and per-sim pass cost scales with arena
+    #                                width); pure padding between stages —
+    #                                bit-exact.  1 = single full-width scan;
+    #                                ignored when a reused subtree seeds the
+    #                                arena (its width is dynamic per lane)
     # array dtypes for the tree storage (memory/perf knobs)
     q_dtype: str = "float32"
     prior_dtype: str = "float32"

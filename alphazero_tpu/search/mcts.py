@@ -23,8 +23,8 @@ import jax.numpy as jnp
 from alphazero_tpu.config import MCTSConfig, MAGIC_SEEDS
 from alphazero_tpu.games.base import GameSpec
 from alphazero_tpu.search.tree import (
-    FORCED_K, Tree, backup_dense, dense_best_action, expand_batch, init_root,
-    make_tree, walk_path)
+    FORCED_K, Tree, backup_dense, dense_best_action, expand_batch, grow_tree,
+    init_root, make_tree, walk_path)
 
 # eval_fn(eval_args, obs (B,...), valids (B,A)) -> (prior (B,A) normalized,
 # value (B,P)).  eval_args is an arbitrary traced pytree (params, or
@@ -114,7 +114,23 @@ def mcts_search(spec: GameSpec, eval_fn: EvalFn, eval_args,
         p = p / jnp.maximum(jnp.sum(p, -1, keepdims=True), 1e-30)
         prior0 = jnp.where(noise_mask[:, None], p, prior0)
 
-    trees = make_tree(spec, B, N, qdt, pdt)
+    # staged arena growth: sim s only needs s+1 node slots and per-sim pass
+    # cost scales with arena width, so the sim scan runs in k stages over
+    # growing arenas (pure padding between stages — bit-exact).  Disabled
+    # when a reused subtree seeds the arena: its width is dynamic per lane.
+    n_steps_plan = num_sims_max + (1 if init_tree is not None else 0)
+    k_stages = 1 if init_tree is not None else max(1, cfg.arena_stages)
+    total_sims = n_steps_plan - 1
+    if k_stages > 1 and total_sims > k_stages:
+        ends = sorted({1 + (total_sims * k) // k_stages
+                       for k in range(1, k_stages + 1)})
+        stage_sizes = [min(N, e + 1) for e in ends]
+        stage_sizes[-1] = N
+    else:
+        ends = [n_steps_plan]
+        stage_sizes = [N]
+
+    trees = make_tree(spec, B, stage_sizes[0], qdt, pdt, dtype_nodes=N)
     trees = init_root(trees, root_states, root_valids, prior0, v0[:, 0])
     if init_tree is not None:
         # reused lanes take the whole carried arena, with the root prior row
@@ -134,12 +150,11 @@ def mcts_search(spec: GameSpec, eval_fn: EvalFn, eval_args,
     # a reused root is ALREADY expanded, so all `budget` simulations add
     # root-edge visits (the reference's getActionProb runs numMCTSSims
     # descents on an existing dict node); fresh roots spend one on expansion
+    # (the sim index range 1..n_steps_plan-1 is fixed by the stage plan above)
     if init_tree is not None:
         eff_budgets = budgets + rm.astype(jnp.int32)
-        n_steps = num_sims_max + 1
     else:
         eff_budgets = budgets
-        n_steps = num_sims_max
 
     # The PUCT argmax for simulation s is computed at the END of simulation
     # s-1 (carried through the scan): XLA then fuses backup's nsa/qsa
@@ -185,8 +200,19 @@ def mcts_search(spec: GameSpec, eval_fn: EvalFn, eval_args,
 
     best0, code0 = dense_best_action(trees, cfg.cpuct, cfg.fpu, forced_mask,
                                      jnp.int32(1))
-    (trees, _, _), _ = jax.lax.scan(one_sim, (trees, best0, code0),
-                                    jnp.arange(1, n_steps, dtype=jnp.int32))
+    carry = (trees, best0, code0)
+    start = 1
+    for end, size in zip(ends, stage_sizes):
+        t, b, c = carry
+        if size > t.prior.shape[1]:
+            dn = size - t.prior.shape[1]
+            t = grow_tree(t, size)
+            b = jnp.pad(b, ((0, 0), (0, dn)))
+            c = jnp.pad(c, ((0, 0), (0, dn)), constant_values=-1)
+        carry, _ = jax.lax.scan(one_sim, (t, b, c),
+                                jnp.arange(start, end, dtype=jnp.int32))
+        start = end
+    trees = carry[0]
 
     # --- outputs (reference getActionProb, MCTS.py:67-83) -------------------
     counts = trees.nsa[:, 0].astype(jnp.float32)        # (B, A)

@@ -88,10 +88,14 @@ def child_dtype_for(num_nodes: int):
 
 
 def make_tree(spec: GameSpec, batch: int, num_nodes: int,
-              q_dtype=jnp.float32, prior_dtype=jnp.float32) -> Tree:
+              q_dtype=jnp.float32, prior_dtype=jnp.float32,
+              dtype_nodes: int = 0) -> Tree:
+    """dtype_nodes: pick count/child dtypes as if the arena had this many
+    nodes (staged arena growth pads a small arena up to a final width, so
+    every stage must share the final width's dtypes)."""
     B, N, A, P = batch, num_nodes, spec.num_actions, spec.num_players
-    cdt = count_dtype_for(num_nodes)
-    kdt = child_dtype_for(num_nodes)
+    cdt = count_dtype_for(dtype_nodes or num_nodes)
+    kdt = child_dtype_for(dtype_nodes or num_nodes)
     return Tree(
         states=jnp.zeros((B, N, *spec.state_shape), jnp.int8),
         prior=jnp.full((B, N, A), -1, prior_dtype),
@@ -105,6 +109,36 @@ def make_tree(spec: GameSpec, batch: int, num_nodes: int,
         term_val=jnp.zeros((B, N, P), jnp.float32),
         parent=jnp.zeros((B, N), jnp.int32),
         next_free=jnp.ones((B,), jnp.int32),
+    )
+
+
+def grow_tree(tree: Tree, num_nodes_new: int) -> Tree:
+    """Pad every node-indexed array up to ``num_nodes_new`` slots (staged
+    arena growth: per-sim pass cost scales with arena width, and sim s only
+    needs s+1 slots).  Pure padding with each array's empty-slot sentinel —
+    bit-exact with running the whole search at the final width."""
+    dn = num_nodes_new - tree.prior.shape[1]
+    if dn <= 0:
+        return tree
+
+    def pad(arr, fill):
+        widths = [(0, 0)] * arr.ndim
+        widths[1] = (0, dn)
+        return jnp.pad(arr, widths, constant_values=fill)
+
+    return Tree(
+        states=pad(tree.states, 0),
+        prior=pad(tree.prior, -1),
+        nsa=pad(tree.nsa, 0),
+        qsa=pad(tree.qsa, 0),
+        children=pad(tree.children, -1),
+        qs=pad(tree.qs, 0),
+        n_visit=pad(tree.n_visit, 0),
+        swap=pad(tree.swap, 0),
+        is_term=pad(tree.is_term, False),
+        term_val=pad(tree.term_val, 0.0),
+        parent=pad(tree.parent, 0),
+        next_free=tree.next_free,
     )
 
 

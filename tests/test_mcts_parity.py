@@ -224,3 +224,27 @@ def test_dirichlet_noise_changes_prior_only_on_masked_lanes(spec):
     np.testing.assert_allclose(p[1], ref_prior, atol=1e-7)  # lane 1 clean
     np.testing.assert_allclose(p[0].sum(), 1.0, atol=1e-5)
     assert (p[0][~v[0]] == 0).all()
+
+
+@pytest.mark.slow
+def test_staged_arena_growth_is_identity(spec):
+    """arena_stages=k is pure padding: outputs must equal the single
+    full-width scan bit-for-bit (tree.grow_tree / mcts stage plan)."""
+    positions = make_positions(spec, n_pos=3, plies=6)
+    states = jnp.asarray(np.stack(positions))
+    B = states.shape[0]
+    outs = []
+    for k in (1, 4, 7):
+        cfg = MCTSConfig(num_sims=48, universes=1, arena_stages=k,
+                         q_dtype="float64", prior_dtype="float32")
+        out = run_mcts(spec, fake_eval_jax, states, jax.random.PRNGKey(0),
+                       budgets=jnp.full((B,), 48, jnp.int32),
+                       noise_mask=jnp.zeros((B,), bool),
+                       forced_mask=jnp.zeros((B,), bool),
+                       cfg=cfg, num_sims_max=48, use_noise=False)
+        outs.append(out)
+    for out in outs[1:]:
+        np.testing.assert_array_equal(np.asarray(out.counts),
+                                      np.asarray(outs[0].counts))
+        np.testing.assert_array_equal(np.asarray(out.q),
+                                      np.asarray(outs[0].q))
