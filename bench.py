@@ -53,7 +53,7 @@ def main():
     if args.quick:
         B, sims, moves, ch, depth = 32, 16, 4, 32, 2
     else:
-        B = args.batch or (2048 if platform != "cpu" else 64)
+        B = args.batch or (4096 if platform != "cpu" else 64)
         sims, moves, ch, depth = args.sims, args.moves, args.channels, args.depth
 
     import json as _json
