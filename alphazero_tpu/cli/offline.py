@@ -23,14 +23,36 @@ import logging
 import numpy as np
 
 
+_DENSE_KEYS = ("state", "pi", "z", "q", "valids")
+_ENC_KEYS = ("state", "pi_vals", "pi_idx", "z", "q", "valids")
+
+
 def _load_npz(path):
+    """Returns the example arrays in whichever format the file holds:
+    dense ('pi') or encoded ('pi_vals'/'pi_idx' sparse + packed valids,
+    selfplay/codec.py).  Surgery commands operate on either directly."""
     d = np.load(path)
-    return {k: d[k] for k in ("state", "pi", "z", "q", "valids")}
+    keys = _DENSE_KEYS if "pi" in d else _ENC_KEYS
+    return {k: d[k] for k in keys}
+
+
+def _decode(arrays, num_actions: int):
+    """Encoded -> dense host arrays (no-op on dense)."""
+    if "pi" in arrays:
+        return arrays
+    from alphazero_tpu.selfplay.codec import densify_pi_np, unpack_bool_np
+    return dict(state=arrays["state"],
+                pi=densify_pi_np(arrays["pi_vals"], arrays["pi_idx"],
+                                 num_actions).astype(np.float16),
+                z=arrays["z"], q=arrays["q"],
+                valids=unpack_bool_np(arrays["valids"], num_actions))
 
 
 def _save_npz(path, arrays):
     n = arrays["state"].shape[0]
-    np.savez_compressed(path, meta=np.array([n % max(n, 1), n, n]), **arrays)
+    k_pi = arrays["pi_vals"].shape[-1] if "pi_vals" in arrays else 0
+    np.savez_compressed(path, meta=np.array([n % max(n, 1), n, n, k_pi]),
+                        **arrays)
 
 
 def cmd_train(args):
@@ -46,7 +68,7 @@ def cmd_train(args):
     net = make_net(spec, NetConfig(version=args.nn_version,
                                    channels=args.channels, depth=args.depth))
     params = init_params(net, spec, jax.random.PRNGKey(args.seed))
-    d = _load_npz(args.replay)
+    d = _decode(_load_npz(args.replay), spec.num_actions)
     n = d["state"].shape[0]
     n_test = max(1, n // 10)
     test = {k: v[:n_test] for k, v in d.items()}
@@ -124,12 +146,25 @@ def cmd_split(args):
 
 def cmd_binarize(args):
     d = _load_npz(args.replay)
-    pi = d["pi"].astype(np.float32)
-    hard = np.zeros_like(pi)
-    hard[np.arange(pi.shape[0]), pi.argmax(-1)] = 1.0
-    d["pi"] = hard.astype(np.float16)
+    if "pi" in d:
+        pi = d["pi"].astype(np.float32)
+        hard = np.zeros_like(pi)
+        hard[np.arange(pi.shape[0]), pi.argmax(-1)] = 1.0
+        d["pi"] = hard.astype(np.float16)
+        n = pi.shape[0]
+    else:
+        # encoded rows: keep the argmax action, zero the rest.  top-k values
+        # are stored descending, so argmax = column 0 — but guard against
+        # ties/reordering by recomputing it
+        vals = d["pi_vals"].astype(np.float32)
+        best = vals.argmax(-1)
+        hard = np.zeros_like(vals)
+        hard[np.arange(vals.shape[0]), best] = 1.0
+        d = dict(d)
+        d["pi_vals"] = hard.astype(np.float16)
+        n = vals.shape[0]
     _save_npz(args.out, d)
-    print(f"binarized {pi.shape[0]} policies -> {args.out}")
+    print(f"binarized {n} policies -> {args.out}")
 
 
 def main(argv=None):

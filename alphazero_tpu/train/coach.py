@@ -41,10 +41,13 @@ class Coach:
         self.key = jax.random.PRNGKey(cfg.seed)
         self.np_rng = np.random.default_rng(cfg.seed)
 
+        from alphazero_tpu.selfplay.codec import pi_budget
         self.replay = ReplayBuffer(cfg.train.replay_capacity,
                                    self.spec.state_shape,
                                    self.spec.num_actions,
-                                   self.spec.num_players)
+                                   self.spec.num_players,
+                                   pi_budget=pi_budget(self.spec.num_actions,
+                                                       cfg.mcts.num_sims))
         self.key, k = jax.random.split(self.key)
         params = init_params(self.net, self.spec, k)
         steps_per_iter = self._train_steps_per_iter()
@@ -124,6 +127,20 @@ class Coach:
                     self.spec, self.net, self.state.params, self._next_key(),
                     mc=cfg.mcts, sp=cfg.selfplay, num_moves=num_moves,
                     batch_size=B, mesh=self.mesh)
+                # compress ON DEVICE before the device->host hop: only
+                # full-search lanes can carry examples, pi rows are
+                # num_sims-sparse, valids bit-pack (selfplay/codec.py) —
+                # for wide action spaces this cuts the transfer ~40x
+                # (dense akropolis batches measured 8 min/iter through
+                # the tunnel)
+                from alphazero_tpu.selfplay.codec import encode_examples
+                n_full = min(B, max(1, round(B * cfg.mcts.prob_full)))
+                enc = encode_examples(batch, num_rows=num_moves * n_full,
+                                      k_pi=self.replay.k_pi)
+                examples += self.replay.add_encoded(jax.device_get(enc))
+                episodes += int(stats.episodes_done)
+                sims += int(stats.sims)
+                continue
             examples += self.replay.add_batch(jax.device_get(batch))
             episodes += int(stats.episodes_done)
             sims += int(stats.sims)
@@ -153,10 +170,14 @@ class Coach:
         self.state = init_train_state(self.state.params, cfg, total)
         losses = []
         for _ in range(n_chunks):
+            # batches travel ENCODED (sparse pi + packed valids) and decode
+            # on device inside the jitted chunk — the dense f32 form is ~20x
+            # the bytes over the host->device link
             samples = [self.replay.sample(self.np_rng, cfg.batch_size)
                        for _ in range(CHUNK)]
             batches = {kk: jnp.asarray(np.stack([s[kk] for s in samples]))
-                       for kk in ("state", "pi", "z", "q", "valids")}
+                       for kk in ("state", "pi_vals", "pi_idx", "z", "q",
+                                  "valids")}
             self.state, ms = train_chunk(
                 self.spec, self.net, cfg, total, self.state, batches,
                 self._next_key(), augment=cfg.symmetry_augment,
@@ -179,19 +200,23 @@ class Coach:
         # value-head health diagnostic corr(v, z) on the same slice
         n_val = min(self.replay.size, 4096)
         if n_val >= 64:
+            from alphazero_tpu.selfplay.codec import unpack_bool
             from alphazero_tpu.train.learner import evaluate_loss
             ids = (self.replay.head - 1 - np.arange(n_val)) % self.replay.capacity
             vb = {k: jnp.asarray(v) for k, v in dict(
                 state=self.replay.state[ids],
-                pi=self.replay.pi[ids].astype(np.float32),
-                z=self.replay.z[ids].astype(np.float32),
-                q=self.replay.q[ids].astype(np.float32),
+                pi_vals=self.replay.pi_vals[ids],
+                pi_idx=self.replay.pi_idx[ids],
+                z=self.replay.z[ids],
+                q=self.replay.q[ids],
                 valids=self.replay.valids[ids]).items()}
             out["val_loss"] = float(evaluate_loss(
                 self.spec, self.net, self.state.params, vb,
                 q_weight=cfg.q_weight))
             obs = jax.vmap(self.spec.observe)(vb["state"])
-            _, v = self.net.apply(self.state.params, obs, vb["valids"])
+            _, v = self.net.apply(self.state.params, obs,
+                                  unpack_bool(vb["valids"],
+                                              self.spec.num_actions))
             v0 = np.asarray(v)[:, 0]
             z0 = np.asarray(vb["z"])[:, 0]
             denom = v0.std() * z0.std()
@@ -229,7 +254,9 @@ class Coach:
         if self.replay.size == 0:
             return
         n = min(self.replay.size, 4096)
-        avg_valids = float(self.replay.valids[:n].sum(-1).mean())
+        # valids are bit-packed in the buffer; popcount via unpackbits
+        avg_valids = float(
+            np.unpackbits(self.replay.valids[:n], axis=-1).sum(-1).mean())
         advised = 10.0 / max(avg_valids, 1.0)
         alpha = self.cfg.mcts.dirichlet_alpha
         if alpha > 0 and not (0.5 * advised <= alpha <= 2.0 * advised):
@@ -242,11 +269,15 @@ class Coach:
         if not (self.skip_first_selfplay and self.iteration == 1):
             metrics["selfplay"] = self.self_play()
             self._dirichlet_advisory()
+        t0 = time.time()
         metrics["train"] = self.train()
+        metrics["train"]["seconds"] = time.time() - t0
         # the candidate is always persisted, accepted or not (the reference
         # writes temp.pt every iteration, Coach.py:192)
         self.save("temp")
+        t0 = time.time()
         metrics["gate"] = self.gate()
+        metrics["gate"]["seconds"] = time.time() - t0
         g = metrics["gate"]
         log.info("iter %d: new vs prev %d-%d (%d draws) -> %s",
                  self.iteration, g["nwins"], g["pwins"], g["draws"],

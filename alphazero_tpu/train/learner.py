@@ -82,9 +82,19 @@ def _augment(spec: GameSpec, key, state, pi, valids):
     return st[b, idx], pis[b, idx], vas[b, idx]
 
 
+def _maybe_decode(spec: GameSpec, batch):
+    """Encoded batches (sparse pi + packed valids, see selfplay/codec.py)
+    are decoded on device; dense dict batches pass through."""
+    if "pi_vals" in batch:
+        from alphazero_tpu.selfplay.codec import decode_batch
+        return decode_batch(batch, spec.num_actions)
+    return batch
+
+
 def _train_step_impl(spec, net, cfg, total_steps, state, batch, key,
                      augment, mesh):
     opt, sched = make_optimizer(cfg, total_steps)
+    batch = _maybe_decode(spec, batch)
 
     if mesh is not None:
         # shard the batch over 'data'; params stay replicated so GSPMD
@@ -133,6 +143,7 @@ def train_step(spec: GameSpec, net, cfg: TrainConfig, total_steps: int,
 @functools.partial(jax.jit, static_argnames=("spec", "net", "q_weight"))
 def evaluate_loss(spec: GameSpec, net, params, batch, q_weight: float = 0.5):
     """Validation loss (reference GenericNNetWrapper.evaluate, :159-177)."""
+    batch = _maybe_decode(spec, batch)
     obs = jax.vmap(spec.observe)(batch["state"])
     log_pi, v = net.apply(params, obs, batch["valids"])
     return (loss_pi(batch["pi"], log_pi)

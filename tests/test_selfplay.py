@@ -79,29 +79,87 @@ def test_unfinished_tail_has_zero_weight(setup):
 def test_replay_roundtrip(rollout, tmp_path):
     spec, batch, stats = rollout
     buf = ReplayBuffer(1000, spec.state_shape, spec.num_actions,
-                       spec.num_players)
+                       spec.num_players, pi_budget=16)
     n = buf.add_batch(batch)
     assert n == int(stats.examples)
     s = buf.sample(np.random.default_rng(0), 32)
     assert s["state"].shape == (32, *spec.state_shape)
-    assert s["pi"].dtype == np.float32
+    assert s["pi_vals"].dtype == np.float16
+    d = buf.sample_dense(np.random.default_rng(0), 32)
+    assert d["pi"].shape == (32, spec.num_actions)
+    np.testing.assert_allclose(d["pi"].sum(-1), 1.0, atol=1e-3)
 
     p = str(tmp_path / "replay.npz")
     buf.save(p)
     buf2 = ReplayBuffer(1000, spec.state_shape, spec.num_actions,
-                        spec.num_players)
+                        spec.num_players, pi_budget=16)
     buf2.load(p)
     assert buf2.size == buf.size
     np.testing.assert_array_equal(buf2.state[:buf.size],
                                   buf.state[:buf.size])
+    np.testing.assert_array_equal(buf2.pi_vals[:buf.size],
+                                  buf.pi_vals[:buf.size])
+
+
+def test_replay_encoded_matches_dense(rollout):
+    """add_encoded(device-encoded batch) stores the same rows as
+    add_batch(dense batch): same states, same decoded policies."""
+    from alphazero_tpu.selfplay.codec import encode_examples
+    spec, batch, stats = rollout
+    T, B = batch.weight.shape
+    k_pi = 16
+    dense = ReplayBuffer(1000, spec.state_shape, spec.num_actions,
+                         spec.num_players, pi_budget=k_pi)
+    dense.add_batch(batch)
+    enc_buf = ReplayBuffer(1000, spec.state_shape, spec.num_actions,
+                           spec.num_players, pi_budget=k_pi)
+    enc = jax.device_get(encode_examples(
+        jax.tree.map(jnp.asarray, batch), num_rows=T * B, k_pi=k_pi))
+    n = enc_buf.add_encoded(enc)
+    assert n == dense.size == int(stats.examples)
+    # same multiset of rows (encode orders by flat index too)
+    np.testing.assert_array_equal(enc_buf.state[:n], dense.state[:n])
+    ids = np.arange(n)
+    np.testing.assert_allclose(enc_buf.rows(ids)["pi"],
+                               dense.rows(ids)["pi"], atol=2e-3)
+    np.testing.assert_array_equal(enc_buf.rows(ids)["valids"],
+                                  dense.rows(ids)["valids"])
+    np.testing.assert_allclose(enc_buf.rows(ids)["z"],
+                               dense.rows(ids)["z"], atol=1e-3)
+
+
+def test_codec_roundtrips():
+    from alphazero_tpu.selfplay import codec
+    rng = np.random.default_rng(3)
+    mask = rng.random((5, 43)) < 0.4
+    packed = np.asarray(codec.pack_bool(jnp.asarray(mask)))
+    np.testing.assert_array_equal(packed, np.packbits(mask, axis=-1))
+    np.testing.assert_array_equal(
+        np.asarray(codec.unpack_bool(jnp.asarray(packed), 43)), mask)
+    np.testing.assert_array_equal(codec.unpack_bool_np(packed, 43), mask)
+
+    # sparse pi roundtrip: <=k nonzeros survive exactly (mod f16 + renorm)
+    pi = np.zeros((4, 37), np.float32)
+    for r in range(4):
+        nz = rng.choice(37, size=7, replace=False)
+        w = rng.random(7).astype(np.float32)
+        pi[r, nz] = w / w.sum()
+    vals, idx = codec.sparsify_pi(jnp.asarray(pi), 8)
+    back = np.asarray(codec.densify_pi(vals, idx, 37))
+    np.testing.assert_allclose(back, pi, atol=2e-3)
+    back_np = codec.densify_pi_np(np.asarray(vals), np.asarray(idx), 37)
+    np.testing.assert_allclose(back_np, pi, atol=2e-3)
 
 
 def test_ring_overwrite():
-    buf = ReplayBuffer(10, (2,), 3, 2)
+    buf = ReplayBuffer(10, (2,), 3, 2, pi_budget=3)
     for i in range(4):
         st = np.full((4, 2), i, np.int8)
-        buf._insert(st, np.zeros((4, 3)), np.zeros((4, 2)),
-                    np.zeros((4, 2)), np.zeros((4, 3), bool))
+        buf._insert(st, np.zeros((4, 3), np.float16),
+                    np.zeros((4, 3), np.int32),
+                    np.zeros((4, 2), np.float16),
+                    np.zeros((4, 2), np.float16),
+                    np.zeros((4, 1), np.uint8))
     assert buf.size == 10
     assert buf.total_added == 16
     # oldest entries overwritten
