@@ -206,10 +206,23 @@ def main(argv=None):
         import numpy as np
         start = np.load(args.state)
 
-    host_mode = args.verbose or "human" in (kind_a, kind_b) \
-        or "undefeated" in (kind_a, kind_b)
+    host_mode = args.verbose or "human" in (kind_a, kind_b)
     prof_cm.__enter__()
-    if host_mode:
+    if not host_mode and "undefeated" in (kind_a, kind_b) \
+            and "mcts" in (kind_a, kind_b):
+        # batched hybrid arena: one device search per ply for every lane,
+        # the scripted bot consulted on host (pinned to the CPU backend)
+        from alphazero_tpu.games.akropolis_bot import UndefeatedPlayer
+        from alphazero_tpu.players import play_matches_vs_host
+        params, ncfg = (pa, neta) if kind_a == "mcts" else (pb, netb)
+        r = play_matches_vs_host(
+            spec, make_net(spec, ncfg), params,
+            lambda: UndefeatedPlayer(spec, platform="cpu"),
+            jax.random.PRNGKey(args.seed), cfg=mc,
+            num_games=args.num_games)
+        res = r if kind_a == "mcts" else \
+            ArenaResult(r.two_wins, r.one_wins, r.draws, r.unfinished)
+    elif host_mode or "undefeated" in (kind_a, kind_b):
         from alphazero_tpu.players import play_host_game
         pl_a = host_player(kind_a, pa, mca, neta)
         pl_b = host_player(kind_b, pb, mcb, netb)

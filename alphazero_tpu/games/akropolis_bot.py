@@ -280,19 +280,42 @@ def _categorize_core(f):
     return 0
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _bot_fns(spec, platform):
+    """Shared jitted valids/step for all bot instances of one spec —
+    per-instance jits would retrace once per arena lane.  platform (e.g.
+    'cpu') pins execution there: the bot's per-candidate lookahead calls are
+    latency-bound, and on a tunneled TPU each round-trip costs ~10 ms while
+    the in-process CPU answers immediately (and leaves the TPU to the
+    batched net searches running alongside)."""
+    dev = jax.devices(platform)[0] if platform else None
+    put = (lambda x: jax.device_put(x, dev)) if dev is not None \
+        else (lambda x: jnp.asarray(x))
+    valids = jax.jit(spec.valids)
+    # non-canonical step: the mover stays player 0 so get_score(., 0)
+    # reads the mover's score (reference getNextState does not swap)
+
+    def _step_score(s, a):
+        nxt = spec.step(s, a, jax.random.PRNGKey(0), jnp.int32(7))[0]
+        return nxt, spec.get_score(nxt, jnp.int32(0))
+
+    step_score = jax.jit(_step_score)
+    return (lambda s: valids(put(s))), \
+        (lambda s, a: step_score(put(s), a))
+
+
 class UndefeatedPlayer:
     """The scripted strategy through our Player protocol."""
 
-    def __init__(self, spec):
+    def __init__(self, spec, platform=None):
         assert spec.name.startswith("akropolis")
         self.spec = spec
         self.n = spec.num_players
         self.possible_universes = list(range(N_UNIVERSES))
-        self._valids = jax.jit(spec.valids)
-        # non-canonical step: the mover stays player 0 so get_score(., 0)
-        # reads the mover's score (reference getNextState does not swap)
-        self._step = jax.jit(lambda s, a: spec.step(
-            s, a, jax.random.PRNGKey(0), jnp.int32(7))[0])
+        self._valids, self._step = _bot_fns(spec, platform)
 
     def _update_universes(self, bv, action):
         tile_idx, pattern_idx = divmod(action,
@@ -339,10 +362,8 @@ class UndefeatedPlayer:
 
     def score_filter(self, state, actions):
         """Keep the actions maximizing the mover's post-move score."""
-        scores = []
-        for a in actions:
-            nxt = self._step(state, jnp.int32(a))
-            scores.append(float(self.spec.get_score(nxt, jnp.int32(0))))
+        scores = [float(self._step(state, jnp.int32(a))[1])
+                  for a in actions]
         mx = max(scores)
         return [a for a, sc in zip(actions, scores) if sc == mx]
 

@@ -221,3 +221,87 @@ def play_greedy_vs_random(spec: GameSpec, key, *, num_games: int,
             jnp.sum((res_g < -0.5) & done).astype(jnp.int32),
             jnp.sum((jnp.abs(res_g) <= 0.5) & done).astype(jnp.int32),
             jnp.sum(~done).astype(jnp.int32))
+
+
+def play_matches_vs_host(spec: GameSpec, net, params, make_player, key, *,
+                         cfg, num_games: int, temp_half_life: int = 10):
+    """Batched arena: a device-MCTS net player vs a HOST-side scripted
+    player (e.g. the Akropolis "Undefeated Strategy" bot,
+    /root/reference/akropolis/AkropolisPlayers.py:350-497).
+
+    The reference plays such matches one game at a time; here all
+    ``num_games`` run in lockstep — each ply is ONE batched search over
+    every lane (bot/finished lanes ride along at budget 1), the host player
+    is consulted only for its own lanes, and stepping is one vmapped device
+    call.  Lane i seats the net at absolute seat i % P.  make_player() must
+    return a fresh Player per lane (host players may be stateful across the
+    moves of one game).  Returns an ArenaResult-compatible tuple where
+    one=net, two=host player."""
+    from alphazero_tpu.search.mcts import (argmax_action, clamp_to_valid,
+                                           mcts_search, temp_for_game)
+    from alphazero_tpu.train.arena import ArenaResult
+
+    G, P = num_games, spec.num_players
+    key, k_init, k_scan = jax.random.split(key, 3)
+    seat_net = np.arange(G, dtype=np.int32) % P
+
+    def eval_fn(p, obs, valids):
+        log_pi, v = net.apply(p, obs, valids)
+        return jnp.exp(log_pi), v
+
+    @jax.jit
+    def net_ply(p, states, k, budgets, temp):
+        out, _ = mcts_search(
+            spec, eval_fn, p, states, k, budgets,
+            jnp.zeros((G,), bool), jnp.zeros((G,), bool),
+            cfg=cfg, num_sims_max=cfg.num_sims, use_noise=False)
+        a = argmax_action(jax.random.fold_in(k, 1), out.counts, temp)
+        return clamp_to_valid(a.astype(jnp.int32), out.root_valids)
+
+    @jax.jit
+    def step_ply(states, actions, k, done):
+        nxt, swap = jax.vmap(spec.step_canonical)(
+            states, actions, jax.random.split(k, G),
+            jnp.zeros((G,), jnp.int32))
+        keep = done.reshape((G,) + (1,) * (states.ndim - 1))
+        return jnp.where(keep, states, nxt), jnp.where(done, 0, swap)
+
+    term_f = jax.jit(jax.vmap(spec.terminal))
+    valids_f = jax.jit(jax.vmap(spec.valids))
+
+    states = jax.vmap(spec.init)(jax.random.split(k_init, G))
+    cur = np.zeros((G,), np.int32)
+    done = np.zeros((G,), bool)
+    result = np.zeros((G, P), np.float32)
+    bots = [make_player() for _ in range(G)]
+
+    for t in range(spec.max_game_length):
+        term = np.asarray(term_f(states))
+        for g in np.flatnonzero(term.any(-1) & ~done):
+            result[g] = np.roll(term[g], cur[g])
+        done |= term.any(-1)
+        if done.all():
+            break
+        use_net = (cur == seat_net) & ~done
+        budgets = jnp.asarray(np.where(use_net, cfg.num_sims, 1)
+                              .astype(np.int32))
+        kt = jax.random.fold_in(k_scan, t)
+        temp = float(temp_for_game(temp_half_life, t + 1))
+        a = np.array(jax.device_get(
+            net_ply(params, states, kt, budgets, jnp.float32(temp))))
+        bot_lanes = np.flatnonzero(~done & ~use_net)
+        if bot_lanes.size:
+            states_host = np.asarray(states)
+            for g in bot_lanes:
+                a[g] = bots[g](states_host[g], jax.random.fold_in(kt, 100 + g),
+                               t)
+        states, swap = step_ply(states, jnp.asarray(a),
+                                jax.random.fold_in(kt, 2), jnp.asarray(done))
+        cur = (cur + np.asarray(swap)) % P
+
+    res_net = result[np.arange(G), seat_net]
+    return ArenaResult(
+        int(((res_net > 0.5) & done).sum()),
+        int(((res_net < -0.5) & done).sum()),
+        int(((np.abs(res_net) <= 0.5) & done).sum()),
+        int((~done).sum()))
