@@ -1,0 +1,33 @@
+#!/bin/bash
+# Round-2 sequential TPU workload queue: runs after the in-flight akropolis
+# training finishes so the chip never idles.  Each stage appends raw results
+# under runs/ (scratch); committed evidence is copied into artifacts/ by hand.
+set -u
+cd /root/repo
+mkdir -p runs artifacts/strength
+echo "$(date +%H:%M:%S) queue start" >> runs/queue.log
+
+# 1. wait for the running akropolis training to finish
+while pgrep -f "cli.main akropolis" >/dev/null 2>&1; do sleep 60; done
+echo "$(date +%H:%M:%S) akropolis training done" >> runs/queue.log
+
+# 2. akropolis best vs the Undefeated-Strategy scripted bot (device search,
+#    host bot) — the BASELINE.md ~75% anchor
+python -m alphazero_tpu.cli.pit akropolis runs/akropolis_r2/best undefeated \
+  -n 64 -m 100 --seed 7 > runs/akro_vs_undef_100.out 2>&1
+echo "$(date +%H:%M:%S) akro pit m=100 done" >> runs/queue.log
+python -m alphazero_tpu.cli.pit akropolis runs/akropolis_r2/best undefeated \
+  -n 30 -m 800 --seed 8 > runs/akro_vs_undef_800.out 2>&1
+echo "$(date +%H:%M:%S) akro pit m=800 done" >> runs/queue.log
+
+# 3. splendor training (BASELINE north star: parity vs pretrained_2players.pt)
+python -m alphazero_tpu.cli.main splendor -e 2048 -P 2048 -m 100 -n 60 \
+  --channels 128 --depth 6 -V 1 -C runs/splendor_r2 > runs/splendor_r2.log 2>&1
+echo "$(date +%H:%M:%S) splendor training done" >> runs/queue.log
+
+# 4. santorini retrain (regenerates committed metrics + checkpoint artifacts
+#    after the scratch wipe)
+python -m alphazero_tpu.cli.main santorini \
+  --variant '{"nb_gods":1,"init_method":1}' -e 2048 -P 2048 -m 100 -n 50 \
+  --channels 128 --depth 6 -C runs/santorini_r2 > runs/santorini_r2.log 2>&1
+echo "$(date +%H:%M:%S) santorini training done" >> runs/queue.log
