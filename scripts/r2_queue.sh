@@ -21,7 +21,11 @@ python -m alphazero_tpu.cli.pit akropolis runs/akropolis_r2/best undefeated \
 echo "$(date +%H:%M:%S) akro pit m=800 done" >> runs/queue.log
 
 # 3. splendor training (BASELINE north star: parity vs pretrained_2players.pt)
-python -m alphazero_tpu.cli.main splendor -e 2048 -P 2048 -m 100 -n 60 \
+#    search settings follow the reference's tuned splendor recipe
+#    (/root/reference/README.md:152-163: cpuct 2.5, fpu 0.1, forced
+#    playouts, q-weight 0.5) at a mid-ladder sim budget
+python -m alphazero_tpu.cli.main splendor -e 2048 -P 2048 -m 200 -n 60 \
+  -c 2.5 -f 0.1 -F -q 0.5 \
   --channels 128 --depth 6 -V 1 -C runs/splendor_r2 > runs/splendor_r2.log 2>&1
 echo "$(date +%H:%M:%S) splendor training done" >> runs/queue.log
 
