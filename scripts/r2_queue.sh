@@ -24,7 +24,7 @@ echo "$(date +%H:%M:%S) akro pit m=800 done" >> runs/queue.log
 #    search settings follow the reference's tuned splendor recipe
 #    (/root/reference/README.md:152-163: cpuct 2.5, fpu 0.1, forced
 #    playouts, q-weight 0.5) at a mid-ladder sim budget
-python -m alphazero_tpu.cli.main splendor -e 2048 -P 2048 -m 200 -n 60 \
+python -m alphazero_tpu.cli.main splendor -e 2048 -P 2048 -m 200 -n 50 \
   -c 2.5 -f 0.1 -F -q 0.5 \
   --channels 128 --depth 6 -V 1 -C runs/splendor_r2 > runs/splendor_r2.log 2>&1
 echo "$(date +%H:%M:%S) splendor training done" >> runs/queue.log
@@ -32,6 +32,6 @@ echo "$(date +%H:%M:%S) splendor training done" >> runs/queue.log
 # 4. santorini retrain (regenerates committed metrics + checkpoint artifacts
 #    after the scratch wipe)
 python -m alphazero_tpu.cli.main santorini \
-  --variant '{"nb_gods":1,"init_method":1}' -e 2048 -P 2048 -m 100 -n 50 \
+  --variant '{"nb_gods":1,"init_method":1}' -e 2048 -P 2048 -m 100 -n 45 \
   --channels 128 --depth 6 -C runs/santorini_r2 > runs/santorini_r2.log 2>&1
 echo "$(date +%H:%M:%S) santorini training done" >> runs/queue.log
