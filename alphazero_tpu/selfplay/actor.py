@@ -228,17 +228,48 @@ def _selfplay_chunk(spec, net, params, carry, *, mc, sp, num_moves,
     return carry, recs
 
 
+@jax.jit
+def _backfill_chunk(recs, carry):
+    """Reverse-scan one chunk of records: same recurrence as run_selfplay's
+    backfill, with the (pending, have) carry crossing chunk boundaries so
+    chunks can be processed newest-to-oldest on device."""
+    def backfill(c, rec):
+        pending, have = c
+        pending = jnp.where(rec["done"][:, None], rec["result_abs"], pending)
+        have = have | rec["done"]
+        z = jax.vmap(jnp.roll)(pending, -rec["player"])
+        w = (have & rec["full"]).astype(jnp.float32)
+        return (pending, have), (z, w)
+
+    carry, (z, weight) = jax.lax.scan(backfill, carry, recs, reverse=True)
+    return carry, z, weight
+
+
 def run_selfplay_chunked(spec: GameSpec, net, params, key, *, mc: MCTSConfig,
                          sp: SelfPlayConfig, num_moves: int, chunk_moves: int,
-                         batch_size: int
-                         ) -> Tuple[SelfPlayBatch, SelfPlayStats]:
+                         batch_size: int, mesh=None, k_pi: int = None):
     """Semantically equivalent to run_selfplay, stitched from
     ceil(num_moves/chunk_moves) shorter device programs through an explicit
-    carry; the reverse backfill runs on the host over the concatenated
-    records."""
+    carry.  Exists because long scans of some game engines trip a TPU kernel
+    fault (docs/tpu_limits.md); shorter programs side-step it.
+
+    The reverse backfill runs ON DEVICE per chunk (newest chunk first,
+    threading the pending-result carry), so the chunked path costs the same
+    device->host bytes as run_selfplay:
+
+    - k_pi given: each chunk is codec-encoded on device (sparse pi, packed
+      valids, f16 scalars) before the transfer; returns
+      (list[EncodedExamples host], SelfPlayStats) for ReplayBuffer.add_encoded.
+    - k_pi None: returns the dense (SelfPlayBatch host, SelfPlayStats) like
+      run_selfplay (tests, offline tooling).
+
+    mesh: optional Mesh with a 'data' axis; game lanes shard over it exactly
+    as in run_selfplay (the sharding rides the scan carry through every
+    chunk program)."""
     B, P = batch_size, spec.num_players
-    carry = _init_carry(spec, key, B)
-    chunks = []
+    carry = _init_carry(spec, key, B, mesh)
+    chunks = []     # device record trees
+    sizes = []
     done_moves = 0
     while done_moves < num_moves:
         n = min(chunk_moves, num_moves - done_moves)
@@ -248,35 +279,46 @@ def run_selfplay_chunked(spec: GameSpec, net, params, key, *, mc: MCTSConfig,
         carry = (states, ep, pl, jax.random.fold_in(k_scan, 1000 + done_moves))
         carry, recs = _selfplay_chunk(spec, net, params, carry, mc=mc, sp=sp,
                                       num_moves=n, batch_size=B)
-        chunks.append(jax.device_get(recs))
+        chunks.append(recs)
+        sizes.append(n)
         done_moves += n
 
-    recs = {k: np.concatenate([c[k] for c in chunks], axis=0)
-            for k in chunks[0]}
-    T = recs["state"].shape[0]
+    # device reverse backfill, newest chunk -> oldest
+    bf = (jnp.zeros((B, P), jnp.float32), jnp.zeros((B,), bool))
+    zw = [None] * len(chunks)
+    for i in range(len(chunks) - 1, -1, -1):
+        bf, z_i, w_i = _backfill_chunk(chunks[i], bf)
+        zw[i] = (z_i, w_i)
 
-    # host reverse backfill (same recurrence as run_selfplay's scan)
-    pending = np.zeros((B, P), np.float32)
-    have = np.zeros((B,), bool)
-    z = np.zeros((T, B, P), np.float32)
-    weight = np.zeros((T, B), np.float32)
-    pidx = np.arange(P)[None, :]
-    for t in range(T - 1, -1, -1):
-        done_t = recs["done"][t]
-        pending = np.where(done_t[:, None], recs["result_abs"][t], pending)
-        have = have | done_t
-        idx = (pidx + recs["player"][t][:, None]) % P   # roll by -player
-        z[t] = np.take_along_axis(pending, idx, axis=1)
-        weight[t] = (have & recs["full"][t]).astype(np.float32)
-
-    batch = SelfPlayBatch(state=recs["state"], pi=recs["pi"], z=z,
-                          q=recs["q"], valids=recs["valids"], weight=weight)
-    episodes = int(recs["done"].sum())
+    episodes = sum(int(jnp.sum(c["done"])) for c in chunks)
+    T = sum(sizes)
     stats = SelfPlayStats(
         episodes_done=np.int32(episodes),
-        examples=np.int32((weight > 0).sum()),
+        examples=np.int32(sum(int(jnp.sum(w > 0)) for _, w in zw)),
         moves=np.int32(T * B),
-        sims=np.int64(recs["sims"].sum()),
+        sims=np.int64(sum(int(jnp.sum(c["sims"])) for c in chunks)),
         avg_game_length=np.float32(T * B / max(episodes, 1)),
+    )
+
+    def chunk_batch(recs, z, w):
+        return SelfPlayBatch(state=recs["state"], pi=recs["pi"], z=z,
+                             q=recs["q"], valids=recs["valids"], weight=w)
+
+    if k_pi is not None:
+        from alphazero_tpu.selfplay.codec import encode_examples
+        n_full = min(B, max(1, round(B * mc.prob_full)))
+        encs = [jax.device_get(encode_examples(
+                    chunk_batch(recs, z, w), num_rows=n * n_full, k_pi=k_pi))
+                for recs, (z, w), n in zip(chunks, zw, sizes)]
+        return encs, stats
+
+    host = [jax.device_get((c, z, w)) for c, (z, w) in zip(chunks, zw)]
+    batch = SelfPlayBatch(
+        state=np.concatenate([c["state"] for c, _, _ in host]),
+        pi=np.concatenate([c["pi"] for c, _, _ in host]),
+        z=np.concatenate([z for _, z, _ in host]),
+        q=np.concatenate([c["q"] for c, _, _ in host]),
+        valids=np.concatenate([c["valids"] for c, _, _ in host]),
+        weight=np.concatenate([w for _, _, w in host]),
     )
     return batch, stats

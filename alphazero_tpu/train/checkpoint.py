@@ -35,12 +35,19 @@ def save_checkpoint(path: str, params, cfg: Config, *,
     if jax.process_index() != 0:
         return
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "params.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(jax.device_get(params)))
-    with open(os.path.join(path, "config.json"), "w") as f:
-        f.write(cfg.to_json())
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta or {}, f, indent=2)
+
+    # atomic per-file writes (tmp + rename): a SIGTERM/crash mid-save must
+    # never leave a truncated params.msgpack that a later load chokes on
+    def _write(name, data, mode):
+        tmp = os.path.join(path, name + ".tmp")
+        with open(tmp, mode) as f:
+            f.write(data)
+        os.replace(tmp, os.path.join(path, name))
+
+    _write("params.msgpack",
+           serialization.to_bytes(jax.device_get(params)), "wb")
+    _write("config.json", cfg.to_json(), "w")
+    _write("meta.json", json.dumps(meta or {}, indent=2), "w")
 
 
 def load_config(path: str) -> Config:

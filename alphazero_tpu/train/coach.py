@@ -117,11 +117,19 @@ class Coach:
         t0 = time.time()
         while episodes < cfg.train.games_per_iter:
             if chunk and chunk < num_moves:
+                # chunked path (long-scan TPU fault workaround) — same codec
+                # + mesh treatment as the fast path: encode on device per
+                # chunk, transfer only encoded rows
                 from alphazero_tpu.selfplay.actor import run_selfplay_chunked
-                batch, stats = run_selfplay_chunked(
+                encs, stats = run_selfplay_chunked(
                     self.spec, self.net, self.state.params, self._next_key(),
                     mc=cfg.mcts, sp=cfg.selfplay, num_moves=num_moves,
-                    chunk_moves=chunk, batch_size=B)
+                    chunk_moves=chunk, batch_size=B, mesh=self.mesh,
+                    k_pi=self.replay.k_pi)
+                for enc in encs:
+                    examples += self.replay.add_encoded(enc)
+                episodes += int(stats.episodes_done)
+                sims += int(stats.sims)
             else:
                 batch, stats = run_selfplay(
                     self.spec, self.net, self.state.params, self._next_key(),
@@ -140,10 +148,6 @@ class Coach:
                 examples += self.replay.add_encoded(jax.device_get(enc))
                 episodes += int(stats.episodes_done)
                 sims += int(stats.sims)
-                continue
-            examples += self.replay.add_batch(jax.device_get(batch))
-            episodes += int(stats.episodes_done)
-            sims += int(stats.sims)
         dt = time.time() - t0
         if self.replay.size == self.replay.capacity:
             # reference warns when the example deque saturates

@@ -54,6 +54,7 @@ SLOW_PATTERNS = (
     "test_selfplay.py::test_returns_are_win_loss_pairs",
     "test_selfplay.py::test_unfinished_tail_has_zero_weight",
     "test_selfplay.py::test_replay_roundtrip",
+    "test_selfplay.py::test_chunked_encoded_matches_dense",
     "test_offline_cli.py::test_offline_train_and_inspect",
     "test_akropolis_bot.py::test_decisions_match_reference",
     "test_akropolis_bot.py::test_undefeated_beats_random",

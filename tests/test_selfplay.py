@@ -128,6 +128,41 @@ def test_replay_encoded_matches_dense(rollout):
                                dense.rows(ids)["z"], atol=1e-3)
 
 
+def test_chunked_encoded_matches_dense(setup):
+    """run_selfplay_chunked with k_pi (device-encoded chunks) inserts exactly
+    the rows its dense form (k_pi=None) would: same states/valids, same
+    decoded policies/returns.  Covers the production splendor path
+    (coach.self_play chunked branch)."""
+    from alphazero_tpu.selfplay.actor import run_selfplay_chunked
+    spec, net, params = setup
+    mc = MCTSConfig(num_sims=12, ratio_full=4, prob_full=0.5)
+    sp = SelfPlayConfig(batch_size=8)
+    kw = dict(mc=mc, sp=sp, num_moves=40, chunk_moves=16, batch_size=8)
+    key = jax.random.PRNGKey(5)
+    dense_batch, dense_stats = run_selfplay_chunked(
+        spec, net, params, key, **kw)
+    encs, enc_stats = run_selfplay_chunked(
+        spec, net, params, key, k_pi=12, **kw)
+    assert int(enc_stats.episodes_done) == int(dense_stats.episodes_done) > 0
+    assert int(enc_stats.examples) == int(dense_stats.examples) > 0
+
+    dense = ReplayBuffer(4000, spec.state_shape, spec.num_actions,
+                         spec.num_players, pi_budget=12)
+    dense.add_batch(dense_batch)
+    buf = ReplayBuffer(4000, spec.state_shape, spec.num_actions,
+                       spec.num_players, pi_budget=12)
+    n = sum(buf.add_encoded(e) for e in encs)
+    assert n == dense.size == int(enc_stats.examples)
+    ids = np.arange(n)
+    np.testing.assert_array_equal(buf.state[:n], dense.state[:n])
+    np.testing.assert_array_equal(buf.rows(ids)["valids"],
+                                  dense.rows(ids)["valids"])
+    np.testing.assert_allclose(buf.rows(ids)["pi"], dense.rows(ids)["pi"],
+                               atol=2e-3)
+    np.testing.assert_allclose(buf.rows(ids)["z"], dense.rows(ids)["z"],
+                               atol=1e-3)
+
+
 def test_codec_roundtrips():
     from alphazero_tpu.selfplay import codec
     rng = np.random.default_rng(3)
