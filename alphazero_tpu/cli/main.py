@@ -48,14 +48,21 @@ def build_config(argv=None):
                    "configuration)")
 
     p.add_argument("--learn-rate", "-l", type=float, default=2e-3)
+    p.add_argument("--lr-anneal-iters", type=int, default=0,
+                   help=">0: anneal the OneCycle peak LR log-linearly from "
+                        "--learn-rate to --lr-final over this many "
+                        "iterations (reference staged recipe, "
+                        "README.md:157-163); 0 = restart at the same peak "
+                        "every iteration")
+    p.add_argument("--lr-final", type=float, default=2e-4)
     p.add_argument("--epochs", "-p", type=int, default=4)
     p.add_argument("--batch-size", "-b", type=int, default=512)
     p.add_argument("--nn-version", "-V", type=int, default=1)
     p.add_argument("--channels", type=int, default=128)
     p.add_argument("--depth", type=int, default=6)
     p.add_argument("--q-weight", "-q", type=float, default=0.5)
-    p.add_argument("--updateThreshold", type=float, default=0.60)
-    p.add_argument("--arenaCompare", type=int, default=30)
+    p.add_argument("--updateThreshold", type=float, default=0.55)
+    p.add_argument("--arenaCompare", type=int, default=300)
     p.add_argument("--stop-after-N-fail", "-s", type=int, default=25)
     p.add_argument("--selfplay-batch", "-P", type=int, default=256,
                    help="parallel self-play games (lockstep lanes)")
@@ -99,7 +106,9 @@ def build_config(argv=None):
             temp_end=args.temperature[1], temp_half_life=args.tempThreshold,
             scan_moves=args.scan_moves),
         train=TrainConfig(
-            learn_rate=args.learn_rate, epochs=args.epochs,
+            learn_rate=args.learn_rate,
+            lr_anneal_iters=args.lr_anneal_iters, lr_final=args.lr_final,
+            epochs=args.epochs,
             batch_size=args.batch_size, q_weight=args.q_weight,
             replay_capacity=args.replay_capacity, num_iters=args.numIters,
             games_per_iter=args.numEps,

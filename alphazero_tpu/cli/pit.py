@@ -67,6 +67,10 @@ def main(argv=None):
     p.add_argument("--variant", default="{}")
     p.add_argument("--ratings", default=None,
                    help="glicko2 ratings JSON path to update")
+    p.add_argument("--out", default=None,
+                   help="append the result JSON (with checkpoint content "
+                        "hashes) to this JSONL file — strength-evidence "
+                        "artifacts tie to exact committed params")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--verbose", "-v", action="store_true",
@@ -265,8 +269,17 @@ def main(argv=None):
     prof_cm.__exit__(None, None, None)
     out = dict(one=args.players[0], two=args.players[1],
                one_wins=int(res.one_wins), two_wins=int(res.two_wins),
-               draws=int(res.draws), unfinished=int(res.unfinished))
+               draws=int(res.draws), unfinished=int(res.unfinished),
+               game=args.game, num_sims=int(mc.num_sims), seed=args.seed)
+    from alphazero_tpu.train.checkpoint import params_hash
+    for field, spec_str in (("one_hash", args.players[0]),
+                            ("two_hash", args.players[1])):
+        if os.path.exists(os.path.join(spec_str, "params.msgpack")):
+            out[field] = params_hash(spec_str)
     print(json.dumps(out))
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(json.dumps(out) + "\n")
 
     if args.score_file:
         decided = max(out["one_wins"] + out["two_wins"], 1)

@@ -150,7 +150,14 @@ def main(argv=None):
               f"in {moves} moves  (running {wins[0]}-{wins[1]}-{wins[2]})",
               flush=True)
 
+    import hashlib
+
+    from alphazero_tpu.train.checkpoint import params_hash
+    with open(f"{args.ref_dir}/{args.ref_file}", "rb") as f:
+        ref_sha = hashlib.sha256(f.read()).hexdigest()[:16]
     out = dict(ours=args.checkpoint, ref=f"{args.ref_dir}/{args.ref_file}",
+               ours_sha=params_hash(args.checkpoint), ref_sha=ref_sha,
+               game=args.game, seed=args.seed,
                our_sims=args.sims, ref_sims=args.ref_sims,
                our_wins=wins[0], ref_wins=wins[1], draws=wins[2],
                games=args.num_games, seconds=round(time.time() - t0, 1))

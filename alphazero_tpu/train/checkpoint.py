@@ -13,6 +13,7 @@ Coach.py:217-262, main.py:51-83):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from typing import Any, Optional, Tuple
@@ -44,10 +45,15 @@ def save_checkpoint(path: str, params, cfg: Config, *,
             f.write(data)
         os.replace(tmp, os.path.join(path, name))
 
-    _write("params.msgpack",
-           serialization.to_bytes(jax.device_get(params)), "wb")
+    blob = serialization.to_bytes(jax.device_get(params))
+    _write("params.msgpack", blob, "wb")
     _write("config.json", cfg.to_json(), "w")
-    _write("meta.json", json.dumps(meta or {}, indent=2), "w")
+    # content hash in meta so every strength artifact row can name the exact
+    # params it measured — a wiped scratch volume can no longer orphan
+    # committed evidence (see artifacts/strength/*)
+    meta = dict(meta or {})
+    meta["params_sha256"] = hashlib.sha256(blob).hexdigest()[:16]
+    _write("meta.json", json.dumps(meta, indent=2), "w")
 
 
 def load_config(path: str) -> Config:
@@ -90,3 +96,18 @@ def load_checkpoint(path: str, params_template) -> Tuple[Any, Config, dict,
 
 def checkpoint_name(iteration: int) -> str:
     return f"iter_{iteration:04d}"
+
+
+def params_hash(path: str) -> str:
+    """Content hash of a checkpoint's params, preferring the one stamped at
+    save time (meta.json); falls back to hashing params.msgpack directly for
+    pre-stamp checkpoints.  Used to tie strength-artifact JSONL rows to the
+    exact committed params they measured."""
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            h = json.load(f).get("params_sha256")
+        if h:
+            return h
+    with open(os.path.join(path, "params.msgpack"), "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16]

@@ -47,7 +47,8 @@ class Coach:
                                    self.spec.num_actions,
                                    self.spec.num_players,
                                    pi_budget=pi_budget(self.spec.num_actions,
-                                                       cfg.mcts.num_sims))
+                                                       cfg.mcts.num_sims),
+                                   holdout_lane_mod=cfg.train.holdout_lane_mod)
         self.key, k = jax.random.split(self.key)
         params = init_params(self.net, self.spec, k)
         steps_per_iter = self._train_steps_per_iter()
@@ -172,6 +173,15 @@ class Coach:
         n_chunks = max(1, -(-total // CHUNK))
         total = n_chunks * CHUNK
         self.state = init_train_state(self.state.params, cfg, total)
+        # cross-iteration peak-LR anneal (reference staged recipe,
+        # README.md:157-163): log-interp learn_rate -> lr_final across
+        # lr_anneal_iters; travels as a traced scalar so no recompile
+        if cfg.lr_anneal_iters > 0:
+            frac = min(max(self.iteration - 1, 0), cfg.lr_anneal_iters) \
+                / cfg.lr_anneal_iters
+            lr_scale = float((cfg.lr_final / cfg.learn_rate) ** frac)
+        else:
+            lr_scale = 1.0
         losses = []
         for _ in range(n_chunks):
             # batches travel ENCODED (sparse pi + packed valids) and decode
@@ -185,7 +195,7 @@ class Coach:
             self.state, ms = train_chunk(
                 self.spec, self.net, cfg, total, self.state, batches,
                 self._next_key(), augment=cfg.symmetry_augment,
-                mesh=self.mesh)
+                mesh=self.mesh, lr_scale=lr_scale)
             import types as _types
             ms_host = jax.device_get(ms)
             losses.extend(
@@ -194,26 +204,34 @@ class Coach:
                                        loss_v=ms_host.loss_v[i])
                 for i in range(CHUNK))
         out = dict(steps=total,
+                   lr_peak=float(cfg.learn_rate * lr_scale),
                    loss=float(np.mean([float(m.loss) for m in losses])),
                    loss_pi=float(np.mean([float(m.loss_pi) for m in losses])),
                    loss_v=float(np.mean([float(m.loss_v) for m in losses])))
         # held-out loss each iteration so replay overfit is visible in-loop
         # (the reference tracks validation loss during training,
-        # GenericNNetWrapper.py:159-177); the newest examples — this
-        # iteration's self-play — stand in for a held-out split, plus a
-        # value-head health diagnostic corr(v, z) on the same slice
-        n_val = min(self.replay.size, 4096)
+        # GenericNNetWrapper.py:159-177).  The validation source is the TRUE
+        # holdout ring (whole self-play lanes routed there before sampling,
+        # never trainable — replay.holdout_lane_mod); if it is empty
+        # (holdout disabled or not yet fed) fall back to the newest replay
+        # rows, which is a freshness diagnostic rather than overfit
+        # detection.  Also a value-head health diagnostic corr(v, z).
+        src = self.replay.val \
+            if (self.replay.val is not None and self.replay.val.size >= 64) \
+            else self.replay
+        out["val_holdout"] = src is not self.replay
+        n_val = min(src.size, 4096)
         if n_val >= 64:
             from alphazero_tpu.selfplay.codec import unpack_bool
             from alphazero_tpu.train.learner import evaluate_loss
-            ids = (self.replay.head - 1 - np.arange(n_val)) % self.replay.capacity
+            ids = (src.head - 1 - np.arange(n_val)) % src.capacity
             vb = {k: jnp.asarray(v) for k, v in dict(
-                state=self.replay.state[ids],
-                pi_vals=self.replay.pi_vals[ids],
-                pi_idx=self.replay.pi_idx[ids],
-                z=self.replay.z[ids],
-                q=self.replay.q[ids],
-                valids=self.replay.valids[ids]).items()}
+                state=src.state[ids],
+                pi_vals=src.pi_vals[ids],
+                pi_idx=src.pi_idx[ids],
+                z=src.z[ids],
+                q=src.q[ids],
+                valids=src.valids[ids]).items()}
             out["val_loss"] = float(evaluate_loss(
                 self.spec, self.net, self.state.params, vb,
                 q_weight=cfg.q_weight))

@@ -38,16 +38,19 @@ class TrainMetrics(NamedTuple):
     lr: jax.Array
 
 
-def make_lr_schedule(cfg: TrainConfig, total_steps: int):
+def make_lr_schedule(cfg: TrainConfig, total_steps: int, lr_scale=1.0):
     """OneCycle (torch defaults: pct_start .3, div 25, final_div 1e4 —
-    matches optax.cosine_onecycle_schedule)."""
-    return optax.cosine_onecycle_schedule(
+    matches optax.cosine_onecycle_schedule).  lr_scale multiplies the whole
+    cycle; it may be a TRACED scalar so the Coach can anneal the peak across
+    iterations (TrainConfig.lr_anneal_iters) without recompiling the step."""
+    sched = optax.cosine_onecycle_schedule(
         transition_steps=max(total_steps, 1), peak_value=cfg.learn_rate,
         pct_start=0.3, div_factor=25.0, final_div_factor=1e4)
+    return lambda step: sched(step) * lr_scale
 
 
-def make_optimizer(cfg: TrainConfig, total_steps: int):
-    sched = make_lr_schedule(cfg, total_steps)
+def make_optimizer(cfg: TrainConfig, total_steps: int, lr_scale=1.0):
+    sched = make_lr_schedule(cfg, total_steps, lr_scale)
     # global-norm clipping: unclipped AdamW at OneCycle peak measured NaN
     # divergence on small replay buffers (all params NaN after a PBT trial)
     opt = optax.chain(optax.clip_by_global_norm(10.0),
@@ -92,8 +95,8 @@ def _maybe_decode(spec: GameSpec, batch):
 
 
 def _train_step_impl(spec, net, cfg, total_steps, state, batch, key,
-                     augment, mesh):
-    opt, sched = make_optimizer(cfg, total_steps)
+                     augment, mesh, lr_scale=1.0):
+    opt, sched = make_optimizer(cfg, total_steps, lr_scale)
     batch = _maybe_decode(spec, batch)
 
     if mesh is not None:
@@ -135,9 +138,9 @@ def _train_step_impl(spec, net, cfg, total_steps, state, batch, key,
                                              "mesh"))
 def train_step(spec: GameSpec, net, cfg: TrainConfig, total_steps: int,
                state: TrainState, batch, key, augment: bool = True,
-               mesh=None) -> Tuple[TrainState, TrainMetrics]:
+               mesh=None, lr_scale=1.0) -> Tuple[TrainState, TrainMetrics]:
     return _train_step_impl(spec, net, cfg, total_steps, state, batch, key,
-                            augment, mesh)
+                            augment, mesh, lr_scale)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "net", "q_weight"))
@@ -155,7 +158,7 @@ def evaluate_loss(spec: GameSpec, net, params, batch, q_weight: float = 0.5):
                                              "mesh"))
 def train_chunk(spec: GameSpec, net, cfg: TrainConfig, total_steps: int,
                 state: TrainState, batches, key, augment: bool = True,
-                mesh=None):
+                mesh=None, lr_scale=1.0):
     """Run K train steps as ONE device program (lax.scan over stacked
     (K, B, ...) batches).  The per-step host loop costs ~70 ms/step through
     the accelerator tunnel (dispatch + per-batch transfer); chunking
@@ -163,7 +166,7 @@ def train_chunk(spec: GameSpec, net, cfg: TrainConfig, total_steps: int,
     def body(st, xs):
         batch, k = xs
         st, m = _train_step_impl(spec, net, cfg, total_steps, st, batch, k,
-                                 augment, mesh)
+                                 augment, mesh, lr_scale)
         return st, m
     K = jax.tree.leaves(batches)[0].shape[0]
     keys = jax.random.split(key, K)

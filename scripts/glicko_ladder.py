@@ -86,10 +86,12 @@ def main():
                 record(e, entries[j], int(res.one_wins), int(res.two_wins),
                        int(res.draws))
 
+    from alphazero_tpu.train.checkpoint import params_hash
     shift = RANDOM_ANCHOR - ratings["random"].rating
     out = dict(anchor=dict(name="random", rating=RANDOM_ANCHOR),
                sims=args.sims, games_per_pair=args.games,
                ladder=[dict(name=os.path.basename(e),
+                            sha=(params_hash(e) if e != "random" else None),
                             glicko=round(ratings[e].rating + shift, 1),
                             rd=round(ratings[e].rd, 1))
                        for e in entries + ["random"]])
