@@ -80,6 +80,15 @@ def main(argv=None):
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.reuse_tree and not args.host_arena \
+            and jax.default_backend() not in ("cpu",):
+        # the whole-game reuse-tree arena scan faults the TPU worker
+        # (docs/tpu_limits.md); auto-route to the host move loop instead of
+        # letting the user crash the worker
+        logging.info("reuse-tree on %s: auto-selecting the host arena "
+                     "(whole-game reuse scan faults the TPU worker, "
+                     "docs/tpu_limits.md)", jax.default_backend())
+        args.host_arena = True
 
     from alphazero_tpu.config import Config, MCTSConfig, NetConfig
     from alphazero_tpu.games import make_game

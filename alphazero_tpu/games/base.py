@@ -77,6 +77,14 @@ class GameSpec:
     symmetries: Optional[Callable[[State, Array, Array], Tuple[Array, Array, Array]]]
     num_symmetries: int = 1
 
+    # Largest self-play scan length (move slots per device program) known
+    # safe on the TPU worker for this engine; 0 = no known limit (full
+    # max_game_length scans are fine).  Some engines fault the worker in
+    # long scans (docs/tpu_limits.md, measured via
+    # scripts/tpu_scan_bisect.py); the Coach auto-chunks to this length on
+    # TPU backends instead of crashing.
+    safe_scan_moves: int = 0
+
     # Free-form static metadata (variant flags etc.), never traced.
     meta: Any = None
 

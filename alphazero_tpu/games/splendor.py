@@ -490,6 +490,10 @@ def make_splendor(num_players: int = 2) -> GameSpec:
         obs_shape=(num_rows, 7),
         num_actions=NUM_ACTIONS,
         max_game_length=max_moves + 2,
+        # long self-play scans of this engine fault the TPU worker at
+        # >= 48 move slots (docs/tpu_limits.md; refine with
+        # scripts/tpu_scan_bisect.py); the Coach auto-chunks to this on TPU
+        safe_scan_moves=32,
         init=init,
         valids=valids,
         step=step,

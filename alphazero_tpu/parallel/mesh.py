@@ -47,6 +47,42 @@ def shard_batch(batch, mesh: Mesh):
         lambda x: jax.device_put(x, data_sharding(mesh, x.ndim)), batch)
 
 
+def spans_processes(mesh: Optional[Mesh]) -> bool:
+    """True when the mesh covers devices of more than one JAX process
+    (multi-host) — host transfers then need explicit replication."""
+    if mesh is None:
+        return False
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
+def fetch_replicated(tree, mesh: Optional[Mesh]):
+    """device_get that also works on cross-process sharded arrays: when the
+    mesh spans processes, route through a jitted identity with replicated
+    out_shardings (GSPMD inserts the all-gather over ICI/DCN) so every
+    process holds the full value, then read it locally.  Single-process
+    meshes take the plain device_get path."""
+    if not spans_processes(mesh):
+        return jax.device_get(tree)
+    rep = jax.jit(lambda t: t,
+                  out_shardings=jax.tree.map(lambda _: replicated(mesh),
+                                             tree))(tree)
+    return jax.device_get(rep)
+
+
+def host_to_global(tree, mesh: Optional[Mesh]):
+    """Upload host arrays as REPLICATED global arrays on the mesh.  Under
+    multi-process SPMD every process must pass the same value (the Coach's
+    host state is replicated by construction: same seeds, same all-gathered
+    self-play data); single-process, this is a no-op passthrough — jit
+    upload + in-program sharding constraints already handle placement."""
+    if not spans_processes(mesh):
+        return tree
+    sh = replicated(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(x)), tree)
+
+
 def shard_params(params, mesh: Mesh, model_parallel: bool = True):
     """Place parameters: tensor-parallel shard of large 2D kernels over
     'model' (last dim), everything else replicated."""

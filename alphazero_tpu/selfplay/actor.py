@@ -305,10 +305,12 @@ def run_selfplay_chunked(spec: GameSpec, net, params, key, *, mc: MCTSConfig,
                              q=recs["q"], valids=recs["valids"], weight=w)
 
     if k_pi is not None:
+        from alphazero_tpu.parallel.mesh import fetch_replicated
         from alphazero_tpu.selfplay.codec import encode_examples
         n_full = min(B, max(1, round(B * mc.prob_full)))
-        encs = [jax.device_get(encode_examples(
-                    chunk_batch(recs, z, w), num_rows=n * n_full, k_pi=k_pi))
+        encs = [fetch_replicated(encode_examples(
+                    chunk_batch(recs, z, w), num_rows=n * n_full, k_pi=k_pi),
+                    mesh)
                 for recs, (z, w), n in zip(chunks, zw, sizes)]
         return encs, stats
 

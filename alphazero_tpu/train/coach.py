@@ -75,6 +75,18 @@ class Coach:
                 self.state = self.state.replace(params=shard_params(
                     self.state.params, self.mesh, model_parallel=True))
                 self.prev_params = self.state.params
+            else:
+                from alphazero_tpu.parallel.mesh import (host_to_global,
+                                                         spans_processes)
+                if spans_processes(self.mesh):
+                    # multi-host: params must live on the GLOBAL mesh before
+                    # they meet global batches inside jit; every process
+                    # initialized identical params from the same seed
+                    gp = host_to_global(jax.device_get(self.state.params),
+                                        self.mesh)
+                    self.state = init_train_state(gp, cfg.train,
+                                                  steps_per_iter)
+                    self.prev_params = gp
         else:
             self.mesh = None
         self.iteration = 0
@@ -102,7 +114,11 @@ class Coach:
 
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
-        return k
+        # multi-host: the key enters jit alongside global arrays, so it must
+        # be a (replicated) global array itself; every process derives the
+        # same key from the same seed
+        from alphazero_tpu.parallel.mesh import host_to_global
+        return host_to_global(k, self.mesh)
 
     # ------------------------------------------------------------------
 
@@ -112,6 +128,16 @@ class Coach:
         B = cfg.selfplay.batch_size
         num_moves = self.spec.max_game_length
         chunk = cfg.selfplay.scan_moves
+        if (not chunk and self.spec.safe_scan_moves
+                and self.spec.safe_scan_moves < num_moves
+                and jax.default_backend() not in ("cpu",)):
+            # engines with a measured TPU long-scan fault threshold
+            # (docs/tpu_limits.md) auto-chunk instead of crashing the worker
+            chunk = self.spec.safe_scan_moves
+            if self.iteration <= 1:
+                log.info("auto-chunking self-play scans to %d moves "
+                         "(TPU long-scan fault threshold for %s, "
+                         "docs/tpu_limits.md)", chunk, self.spec.name)
         episodes = 0
         examples = 0
         sims = 0
@@ -142,11 +168,16 @@ class Coach:
                 # for wide action spaces this cuts the transfer ~40x
                 # (dense akropolis batches measured 8 min/iter through
                 # the tunnel)
+                from alphazero_tpu.parallel.mesh import fetch_replicated
                 from alphazero_tpu.selfplay.codec import encode_examples
                 n_full = min(B, max(1, round(B * cfg.mcts.prob_full)))
                 enc = encode_examples(batch, num_rows=num_moves * n_full,
                                       k_pi=self.replay.k_pi)
-                examples += self.replay.add_encoded(jax.device_get(enc))
+                # multi-host: the encoded rows are all-gathered so every
+                # process inserts the SAME rows — host replay state stays
+                # replicated by construction (same seeds, same data)
+                examples += self.replay.add_encoded(
+                    fetch_replicated(enc, self.mesh))
                 episodes += int(stats.episodes_done)
                 sims += int(stats.sims)
         dt = time.time() - t0
@@ -189,9 +220,12 @@ class Coach:
             # the bytes over the host->device link
             samples = [self.replay.sample(self.np_rng, cfg.batch_size)
                        for _ in range(CHUNK)]
-            batches = {kk: jnp.asarray(np.stack([s[kk] for s in samples]))
-                       for kk in ("state", "pi_vals", "pi_idx", "z", "q",
-                                  "valids")}
+            from alphazero_tpu.parallel.mesh import host_to_global
+            batches = host_to_global(
+                {kk: np.stack([s[kk] for s in samples])
+                 for kk in ("state", "pi_vals", "pi_idx", "z", "q",
+                            "valids")}, self.mesh)
+            batches = {kk: jnp.asarray(v) for kk, v in batches.items()}
             self.state, ms = train_chunk(
                 self.spec, self.net, cfg, total, self.state, batches,
                 self._next_key(), augment=cfg.symmetry_augment,
@@ -222,23 +256,31 @@ class Coach:
         out["val_holdout"] = src is not self.replay
         n_val = min(src.size, 4096)
         if n_val >= 64:
-            from alphazero_tpu.selfplay.codec import unpack_bool
+            from alphazero_tpu.parallel.mesh import (fetch_replicated,
+                                                     host_to_global)
             from alphazero_tpu.train.learner import evaluate_loss
             ids = (src.head - 1 - np.arange(n_val)) % src.capacity
-            vb = {k: jnp.asarray(v) for k, v in dict(
+            vb = {k: jnp.asarray(v) for k, v in host_to_global(dict(
                 state=src.state[ids],
                 pi_vals=src.pi_vals[ids],
                 pi_idx=src.pi_idx[ids],
                 z=src.z[ids],
                 q=src.q[ids],
-                valids=src.valids[ids]).items()}
+                valids=src.valids[ids]), self.mesh).items()}
             out["val_loss"] = float(evaluate_loss(
                 self.spec, self.net, self.state.params, vb,
                 q_weight=cfg.q_weight))
-            obs = jax.vmap(self.spec.observe)(vb["state"])
-            _, v = self.net.apply(self.state.params, obs,
-                                  unpack_bool(vb["valids"],
-                                              self.spec.num_actions))
+            if not hasattr(self, "_val_forward"):
+                def _fwd(params, state_rows, valids_packed):
+                    from alphazero_tpu.selfplay.codec import unpack_bool
+                    obs = jax.vmap(self.spec.observe)(state_rows)
+                    return self.net.apply(
+                        params, obs,
+                        unpack_bool(valids_packed, self.spec.num_actions))[1]
+                self._val_forward = jax.jit(_fwd)
+            v = fetch_replicated(
+                self._val_forward(self.state.params, vb["state"],
+                                  vb["valids"]), self.mesh)
             v0 = np.asarray(v)[:, 0]
             z0 = np.asarray(vb["z"])[:, 0]
             denom = v0.std() * z0.std()

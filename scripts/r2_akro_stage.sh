@@ -15,8 +15,26 @@ kill "$TRAIN_PID" 2>/dev/null
 wait "$TRAIN_PID" 2>/dev/null
 echo "$(date +%H:%M:%S) akropolis training stopped" >> runs/queue.log
 
-# best vs the Undefeated-Strategy scripted bot (device search, host bot)
-timeout 600 python -m alphazero_tpu.cli.pit akropolis runs/akropolis_r2/best \
-  undefeated -n 32 -m 100 --seed 7 > runs/akro_vs_undef_100.out 2>&1
-echo "$(date +%H:%M:%S) akro pit done rc=$?" >> runs/queue.log
+# verify the checkpoint loads before spending pit time on it (the SIGTERM
+# above can land mid-save on pre-atomic-write checkpoints)
+python -c "
+import sys; sys.path.insert(0, '/root/repo')
+from alphazero_tpu.train.checkpoint import params_hash
+print('ckpt ok sha=' + params_hash('runs/akropolis_r2/best'))" \
+  >> runs/queue.log 2>&1
+
+# best vs the Undefeated-Strategy scripted bot (device search, host bot).
+# timeout scales with game count (~35 s/game measured for host-side
+# opponents); capture rc IMMEDIATELY — an rc=$? inside a $(date) word
+# would report the substitution's status, not the pit's
+N=32
+timeout $((60 * N)) python -m alphazero_tpu.cli.pit akropolis \
+  runs/akropolis_r2/best undefeated -n $N -m 100 --seed 7 \
+  > runs/akro_vs_undef_100.out 2>&1
+rc=$?
+if [ "$rc" -eq 124 ]; then
+  echo "$(date +%H:%M:%S) akro pit TIMED OUT" >> runs/queue.log
+else
+  echo "$(date +%H:%M:%S) akro pit done rc=$rc" >> runs/queue.log
+fi
 tail -5 runs/akro_vs_undef_100.out
