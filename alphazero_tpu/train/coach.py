@@ -205,14 +205,9 @@ class Coach:
         total = n_chunks * CHUNK
         self.state = init_train_state(self.state.params, cfg, total)
         # cross-iteration peak-LR anneal (reference staged recipe,
-        # README.md:157-163): log-interp learn_rate -> lr_final across
-        # lr_anneal_iters; travels as a traced scalar so no recompile
-        if cfg.lr_anneal_iters > 0:
-            frac = min(max(self.iteration - 1, 0), cfg.lr_anneal_iters) \
-                / cfg.lr_anneal_iters
-            lr_scale = float((cfg.lr_final / cfg.learn_rate) ** frac)
-        else:
-            lr_scale = 1.0
+        # README.md:157-163); travels as a traced scalar so no recompile
+        from alphazero_tpu.train.learner import peak_lr_scale
+        lr_scale = peak_lr_scale(cfg, self.iteration)
         losses = []
         for _ in range(n_chunks):
             # batches travel ENCODED (sparse pi + packed valids) and decode

@@ -49,6 +49,19 @@ def make_lr_schedule(cfg: TrainConfig, total_steps: int, lr_scale=1.0):
     return lambda step: sched(step) * lr_scale
 
 
+def peak_lr_scale(cfg: TrainConfig, iteration: int) -> float:
+    """Cross-iteration anneal factor on the OneCycle peak: log-interp from
+    1.0 (peak = learn_rate) at iteration 1 to lr_final/learn_rate at
+    iteration lr_anneal_iters+1 (the reference's staged recipe anneals
+    3e-3 -> 3e-4 across training, /root/reference/README.md:157-163).
+    1.0 when annealing is disabled."""
+    if cfg.lr_anneal_iters <= 0:
+        return 1.0
+    frac = min(max(iteration - 1, 0), cfg.lr_anneal_iters) \
+        / cfg.lr_anneal_iters
+    return float((cfg.lr_final / cfg.learn_rate) ** frac)
+
+
 def make_optimizer(cfg: TrainConfig, total_steps: int, lr_scale=1.0):
     sched = make_lr_schedule(cfg, total_steps, lr_scale)
     # global-norm clipping: unclipped AdamW at OneCycle peak measured NaN

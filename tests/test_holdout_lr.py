@@ -9,6 +9,7 @@ traced scale on the per-iteration OneCycle.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -84,7 +85,7 @@ def test_holdout_persistence_roundtrip(tmp_path):
     np.testing.assert_array_equal(buf2.state[:buf2.size], buf.state[:buf.size])
 
 
-def test_lr_scale_scales_schedule_and_freezes_at_zero():
+def test_lr_scale_scales_schedule():
     cfg = TrainConfig(learn_rate=2e-3)
     s1 = make_lr_schedule(cfg, 100, 1.0)
     s2 = make_lr_schedule(cfg, 100, 0.1)
@@ -92,7 +93,22 @@ def test_lr_scale_scales_schedule_and_freezes_at_zero():
         np.testing.assert_allclose(float(s2(step)), 0.1 * float(s1(step)),
                                    rtol=1e-6)
 
+
+def test_peak_lr_scale_formula():
+    from alphazero_tpu.train.learner import peak_lr_scale
+    cfg = TrainConfig(learn_rate=2e-3, lr_anneal_iters=4, lr_final=2e-4)
+    np.testing.assert_allclose(peak_lr_scale(cfg, 1), 1.0)
+    np.testing.assert_allclose(peak_lr_scale(cfg, 2), 0.1 ** 0.25, rtol=1e-9)
+    np.testing.assert_allclose(peak_lr_scale(cfg, 5), 0.1, rtol=1e-9)
+    np.testing.assert_allclose(peak_lr_scale(cfg, 50), 0.1, rtol=1e-9)
+    off = TrainConfig(learn_rate=2e-3, lr_anneal_iters=0)
+    assert peak_lr_scale(off, 30) == 1.0
+
+
+@pytest.mark.slow
+def test_lr_scale_freezes_at_zero():
     # lr_scale=0 must leave params bitwise unchanged through a train step
+    cfg = TrainConfig(learn_rate=2e-3)
     spec = make_game("santorini", nb_gods=1, init_method=1)
     net = make_net(spec, NetConfig(version=1, channels=16, depth=1))
     params = init_params(net, spec, jax.random.PRNGKey(0))
@@ -109,6 +125,7 @@ def test_lr_scale_scales_schedule_and_freezes_at_zero():
     assert np.isfinite(float(m.loss))
 
 
+@pytest.mark.slow
 def test_coach_anneal_lr_peak_metric(tmp_path):
     """Coach records the annealed peak and it decays across iterations."""
     from alphazero_tpu.config import (Config, GameConfig, MCTSConfig,

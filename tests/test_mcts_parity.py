@@ -108,7 +108,9 @@ def run_reference_mcts(ref_env, state, cfg, num_sims, forced):
 
 @pytest.mark.parametrize("forced,fpu,cpuct,num_sims", [
     (False, 0.0, 1.25, 48),
-    (True, 0.0, 1.25, 48),
+    # forced playouts compile a separate search program (~30 s on a loaded
+    # host) — covered nightly, out of the fast lane
+    pytest.param(True, 0.0, 1.25, 48, marks=pytest.mark.slow),
     (False, 0.2, 1.25, 48),   # parent-relative FPU
     # absolute FPU + high cpuct revisits deep lines early; the reference hits
     # a transposition (shared hash-table node) at sim 21 on these positions,

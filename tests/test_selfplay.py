@@ -26,8 +26,10 @@ def rollout(setup):
     mc = MCTSConfig(num_sims=16, ratio_full=4, prob_full=0.5,
                     forced_playouts=True)
     sp = SelfPlayConfig(batch_size=8)
+    # 48 move slots keeps several completed episodes at a ~halved compile
+    #+ run cost vs the old 96 (fast-lane budget, VERDICT r2 weak #8)
     batch, stats = run_selfplay(spec, net, params, jax.random.PRNGKey(1),
-                                mc=mc, sp=sp, num_moves=96, batch_size=8)
+                                mc=mc, sp=sp, num_moves=48, batch_size=8)
     return spec, jax.device_get(batch), stats
 
 

@@ -100,12 +100,12 @@ def _host_runner_check(setup, reuse):
     from alphazero_tpu.train.arena import play_matches_host
     spec, net, params = setup
     res = play_matches_host(spec, net, params, params, jax.random.PRNGKey(3),
-                            cfg=MCTSConfig(num_sims=12), num_games=16,
+                            cfg=MCTSConfig(num_sims=12), num_games=8,
                             reuse_tree=reuse)
     total = int(res.one_wins) + int(res.two_wins) + int(res.draws)
-    assert total == 16, (reuse, res)
+    assert total == 8, (reuse, res)
     assert int(res.unfinished) == 0
-    assert 2 <= int(res.one_wins) <= 14
+    assert 1 <= int(res.one_wins) <= 7
 
 
 def test_arena_host_runner(setup):

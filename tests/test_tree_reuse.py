@@ -102,6 +102,7 @@ def test_reuse_matches_reference_persistent_mcts(spec, ref_env):  # noqa: F811
             err_msg=f"reused visit policy diverges at position {i}")
 
 
+@pytest.mark.slow
 def test_extract_subtree_preserves_stats(spec):  # noqa: F811
     """Structural invariants: the new root carries the old child's row."""
     cfg = MCTSConfig(num_sims=16, q_dtype="float64")
