@@ -68,23 +68,24 @@ def main():
         print(f"{os.path.basename(a)} vs {os.path.basename(b)}: "
               f"{one}-{two} ({dr} draws)", flush=True)
 
-    # each checkpoint vs random + vs its ladder neighbors (sparse but
-    # chained round-robin keeps the pool connected at modest cost)
+    # each checkpoint vs random + a FULL round-robin over the sampled pool.
+    # A chained neighbors-only graph lets glicko drift along the chain
+    # (non-transitive late nets rated only vs their own lineage); with the
+    # device arena a pairing costs seconds, so density is free.
     for i, e in enumerate(entries):
         res = play_vs_random(spec, nets[e], params[e],
                              jax.random.PRNGKey(11 + i), cfg=mc,
                              num_games=args.games)
         record(e, "random", int(res.one_wins), int(res.two_wins),
                int(res.draws))
-        for j in (i - 1, i - 2):
-            if j >= 0:
-                res = play_matches(spec, nets[e], params[e],
-                                   params[entries[j]],
-                                   jax.random.PRNGKey(101 + 13 * i + j),
-                                   cfg=mc, num_games=args.games,
-                                   net_b=nets[entries[j]])
-                record(e, entries[j], int(res.one_wins), int(res.two_wins),
-                       int(res.draws))
+        for j in range(i):
+            res = play_matches(spec, nets[e], params[e],
+                               params[entries[j]],
+                               jax.random.PRNGKey(101 + 13 * i + j),
+                               cfg=mc, num_games=args.games,
+                               net_b=nets[entries[j]])
+            record(e, entries[j], int(res.one_wins), int(res.two_wins),
+                   int(res.draws))
 
     from alphazero_tpu.train.checkpoint import params_hash
     shift = RANDOM_ANCHOR - ratings["random"].rating
