@@ -93,7 +93,8 @@ def main(argv=None):
     from alphazero_tpu.config import Config, MCTSConfig, NetConfig
     from alphazero_tpu.games import make_game
     from alphazero_tpu.models import init_params, make_net
-    from alphazero_tpu.train.arena import (play_matches, play_matches_host,
+    from alphazero_tpu.train.arena import (play_matches_auto,
+                                           play_matches_host,
                                            play_vs_random)
     from alphazero_tpu.train.checkpoint import load_checkpoint, load_config
     from alphazero_tpu.utils.ratings import (load_ratings, save_ratings,
@@ -138,7 +139,8 @@ def main(argv=None):
             import dataclasses as _dc
             mc_ = _dc.replace(mc_, num_sims=args.numMCTSSims)
         if kind_a == "mcts" and kind_b == "mcts":
-            matches = play_matches_host if args.host_arena else play_matches
+            matches = play_matches_host if args.host_arena \
+                else play_matches_auto
             return matches(spec, make_net(spec, neta), pa, pb,
                            jax.random.PRNGKey(seed), cfg=mc_,
                            num_games=args.num_games,
@@ -251,7 +253,8 @@ def main(argv=None):
             print(f"game {g}: result {result.tolist()} in {moves} moves")
         res = ArenaResult(*(int(w) for w in wins), 0)
     elif kind_a == "mcts" and kind_b == "mcts":
-        matches = play_matches_host if args.host_arena else play_matches
+        matches = play_matches_host if args.host_arena \
+                else play_matches_auto
         res = matches(spec, make_net(spec, neta), pa, pb,
                       jax.random.PRNGKey(args.seed),
                       cfg=mc, num_games=args.num_games,

@@ -490,10 +490,14 @@ def make_splendor(num_players: int = 2) -> GameSpec:
         obs_shape=(num_rows, 7),
         num_actions=NUM_ACTIONS,
         max_game_length=max_moves + 2,
-        # long self-play scans of this engine fault the TPU worker at
-        # >= 48 move slots (docs/tpu_limits.md; refine with
-        # scripts/tpu_scan_bisect.py); the Coach auto-chunks to this on TPU
-        safe_scan_moves=32,
+        # long scans of this engine fault the TPU worker, and the threshold
+        # SHRINKS with batch/sims/net size: 32 moves was safe at the bisect
+        # config (B=256, sims=24, 32x2 net) but faults at the production
+        # config: at B=2048/128x6 the measured safe chunk is 8 moves at
+        # sims=100 and only 1 at sims=200 (docs/tpu_limits.md).  The Coach
+        # auto-chunks to this on TPU; --scan-moves overrides (set it to 1
+        # for sims>=200 runs).
+        safe_scan_moves=8,
         init=init,
         valids=valids,
         step=step,

@@ -245,6 +245,20 @@ def _match_move_factory(spec: GameSpec, eval_fn, params_a, params_b, seat_a,
     return one_move
 
 
+def play_matches_auto(spec: GameSpec, net, params_a, params_b, key,
+                      **kw) -> ArenaResult:
+    """play_matches, routed to the host move-loop runner on engines whose
+    whole-game scan exceeds the measured TPU long-scan fault threshold
+    (GameSpec.safe_scan_moves, docs/tpu_limits.md) — the same condition
+    under which Coach.self_play auto-chunks.  On CPU (no fault) the scan
+    runner always wins: one program, no per-move dispatch."""
+    host = (spec.safe_scan_moves
+            and spec.safe_scan_moves < spec.max_game_length
+            and jax.default_backend() not in ("cpu",))
+    fn = play_matches_host if host else play_matches
+    return fn(spec, net, params_a, params_b, key, **kw)
+
+
 def _mcts_vs_random_eval(net):
     def eval_fn(args, obs, valids):
         params, _ = args

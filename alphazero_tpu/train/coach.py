@@ -24,7 +24,7 @@ from alphazero_tpu.games import make_game
 from alphazero_tpu.models import init_params, make_net, param_count
 from alphazero_tpu.selfplay.actor import run_selfplay
 from alphazero_tpu.selfplay.replay import ReplayBuffer
-from alphazero_tpu.train.arena import play_matches
+from alphazero_tpu.train.arena import play_matches_auto
 from alphazero_tpu.train.checkpoint import (checkpoint_name, load_checkpoint,
                                             save_checkpoint)
 from alphazero_tpu.train.learner import (TrainState, init_train_state,
@@ -287,10 +287,12 @@ class Coach:
     def gate(self) -> dict:
         """Arena new-vs-previous; accept/rollback (Coach.py:200-215)."""
         cfg = self.cfg
-        res = play_matches(self.spec, self.net, self.state.params,
-                           self.prev_params, self._next_key(),
-                           cfg=cfg.mcts, num_games=cfg.train.arena_games,
-                           temp_half_life=cfg.selfplay.temp_half_life)
+        # auto-routes to the host move-loop on engines whose whole-game
+        # arena scan trips the TPU long-scan fault (docs/tpu_limits.md)
+        res = play_matches_auto(self.spec, self.net, self.state.params,
+                                self.prev_params, self._next_key(),
+                                cfg=cfg.mcts, num_games=cfg.train.arena_games,
+                                temp_half_life=cfg.selfplay.temp_half_life)
         nwins, pwins, draws = (int(res.one_wins), int(res.two_wins),
                                int(res.draws))
         decided = nwins + pwins
