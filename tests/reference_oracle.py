@@ -185,8 +185,26 @@ def install_ort_stub():
         mnv3 = types.ModuleType("torchvision.models.mobilenetv3")
         mnv3.InvertedResidualConfig = _unavailable
         mnv3.InvertedResidual = _unavailable
+        utils = types.ModuleType("torchvision.models._utils")
+
+        def _make_divisible(v, divisor, min_value=None):
+            # torchvision.models._utils._make_divisible (SplendorNNet.py:4);
+            # standard MobileNet channel rounding, re-implemented for the stub
+            if min_value is None:
+                min_value = divisor
+            new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+            if new_v < 0.9 * v:
+                new_v += divisor
+            return new_v
+
+        utils._make_divisible = _make_divisible
         tv.models = models
         models.mobilenetv3 = mnv3
+        models._utils = utils
+        # mark torchvision.models as a package so `from torchvision.models
+        # ._utils import ...` resolves through the submodule registry
+        models.__path__ = []
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = models
         sys.modules["torchvision.models.mobilenetv3"] = mnv3
+        sys.modules["torchvision.models._utils"] = utils
