@@ -247,7 +247,8 @@ def _backfill_chunk(recs, carry):
 
 def run_selfplay_chunked(spec: GameSpec, net, params, key, *, mc: MCTSConfig,
                          sp: SelfPlayConfig, num_moves: int, chunk_moves: int,
-                         batch_size: int, mesh=None, k_pi: int = None):
+                         batch_size: int, mesh=None, k_pi: int = None,
+                         stop_after_episodes: int = 0):
     """Semantically equivalent to run_selfplay, stitched from
     ceil(num_moves/chunk_moves) shorter device programs through an explicit
     carry.  Exists because long scans of some game engines trip a TPU kernel
@@ -271,6 +272,7 @@ def run_selfplay_chunked(spec: GameSpec, net, params, key, *, mc: MCTSConfig,
     chunks = []     # device record trees
     sizes = []
     done_moves = 0
+    eps_so_far = 0
     while done_moves < num_moves:
         n = min(chunk_moves, num_moves - done_moves)
         # re-key each chunk (k_scan is in the carry; shift it so chunk c's
@@ -282,6 +284,14 @@ def run_selfplay_chunked(spec: GameSpec, net, params, key, *, mc: MCTSConfig,
         chunks.append(recs)
         sizes.append(n)
         done_moves += n
+        if stop_after_episodes:
+            # quota early-exit: latency-bound engines (docs/tpu_limits.md)
+            # pay a ~B-independent wall cost per MOVE, so scanning past the
+            # episode quota burns wall-clock for data the Coach won't need
+            # this iteration.  The check costs one scalar transfer per chunk.
+            eps_so_far += int(jnp.sum(recs["done"]))
+            if eps_so_far >= stop_after_episodes:
+                break
 
     # device reverse backfill, newest chunk -> oldest
     bf = (jnp.zeros((B, P), jnp.float32), jnp.zeros((B,), bool))

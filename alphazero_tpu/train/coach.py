@@ -152,7 +152,8 @@ class Coach:
                     self.spec, self.net, self.state.params, self._next_key(),
                     mc=cfg.mcts, sp=cfg.selfplay, num_moves=num_moves,
                     chunk_moves=chunk, batch_size=B, mesh=self.mesh,
-                    k_pi=self.replay.k_pi)
+                    k_pi=self.replay.k_pi,
+                    stop_after_episodes=cfg.train.games_per_iter - episodes)
                 for enc in encs:
                     examples += self.replay.add_encoded(enc)
                 episodes += int(stats.episodes_done)

@@ -202,3 +202,30 @@ def test_ring_overwrite():
     # oldest entries overwritten
     vals = sorted(set(buf.state[:, 0].tolist()))
     assert 0 not in vals or len(vals) <= 3
+
+
+def test_chunked_quota_early_exit(setup):
+    """stop_after_episodes halts the chunk loop once the quota is met:
+    fewer chunks scanned than the full pass, episodes >= quota, and the
+    recorded examples still round-trip the buffer (weights consistent)."""
+    from alphazero_tpu.selfplay.actor import run_selfplay_chunked
+    spec, net, params = setup
+    mc = MCTSConfig(num_sims=12, ratio_full=4, prob_full=0.5)
+    sp = SelfPlayConfig(batch_size=8)
+    key = jax.random.PRNGKey(6)
+    full_batch, full_stats = run_selfplay_chunked(
+        spec, net, params, key, mc=mc, sp=sp, num_moves=64, chunk_moves=8,
+        batch_size=8)
+    assert int(full_stats.episodes_done) >= 2
+    stop_batch, stop_stats = run_selfplay_chunked(
+        spec, net, params, key, mc=mc, sp=sp, num_moves=64, chunk_moves=8,
+        batch_size=8, stop_after_episodes=1)
+    assert int(stop_stats.episodes_done) >= 1
+    assert int(stop_stats.moves) < int(full_stats.moves)
+    # prefix determinism: the early-exit pass records the same moves as the
+    # full pass over the chunks it did run
+    T = stop_batch.state.shape[0]
+    np.testing.assert_array_equal(stop_batch.state, full_batch.state[:T])
+    # truncation only REMOVES finished-game examples, never invents them
+    assert int(stop_stats.examples) <= int(full_stats.examples)
+    assert (stop_batch.weight > 0).sum() == int(stop_stats.examples)
