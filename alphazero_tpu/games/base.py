@@ -85,6 +85,14 @@ class GameSpec:
     # TPU backends instead of crashing.
     safe_scan_moves: int = 0
 
+    # Simulation count at which safe_scan_moves was measured (0 = not
+    # sims-sensitive).  The fault threshold tracks whole-program size, so
+    # it SHRINKS as sims grow: splendor's 8-move chunk is safe at sims=100
+    # but faults at sims=200, where only 1-move programs pass
+    # (docs/tpu_limits.md).  The Coach clamps the auto-chunk to 1 whenever
+    # cfg.mcts.num_sims exceeds this measured point.
+    safe_scan_sims: int = 0
+
     # Free-form static metadata (variant flags etc.), never traced.
     meta: Any = None
 

@@ -495,9 +495,10 @@ def make_splendor(num_players: int = 2) -> GameSpec:
         # config (B=256, sims=24, 32x2 net) but faults at the production
         # config: at B=2048/128x6 the measured safe chunk is 8 moves at
         # sims=100 and only 1 at sims=200 (docs/tpu_limits.md).  The Coach
-        # auto-chunks to this on TPU; --scan-moves overrides (set it to 1
-        # for sims>=200 runs).
+        # auto-chunks to 8 for runs at <=safe_scan_sims sims and clamps to
+        # 1 beyond that; --scan-moves overrides in either direction.
         safe_scan_moves=8,
+        safe_scan_sims=100,
         init=init,
         valids=valids,
         step=step,

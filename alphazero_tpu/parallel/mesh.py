@@ -55,6 +55,13 @@ def spans_processes(mesh: Optional[Mesh]) -> bool:
     return len({d.process_index for d in mesh.devices.flat}) > 1
 
 
+# one jitted all-gather identity per mesh: re-wrapping per call would
+# retrace/recompile on every chunk of every iteration in multi-host runs
+# (a single replicated out_sharding is a valid prefix pytree for any tree,
+# and jit's own cache handles distinct tree structures/shapes under it)
+_REPLICATE_FNS: dict = {}
+
+
 def fetch_replicated(tree, mesh: Optional[Mesh]):
     """device_get that also works on cross-process sharded arrays: when the
     mesh spans processes, route through a jitted identity with replicated
@@ -63,10 +70,11 @@ def fetch_replicated(tree, mesh: Optional[Mesh]):
     meshes take the plain device_get path."""
     if not spans_processes(mesh):
         return jax.device_get(tree)
-    rep = jax.jit(lambda t: t,
-                  out_shardings=jax.tree.map(lambda _: replicated(mesh),
-                                             tree))(tree)
-    return jax.device_get(rep)
+    fn = _REPLICATE_FNS.get(mesh)
+    if fn is None:
+        fn = jax.jit(lambda t: t, out_shardings=replicated(mesh))
+        _REPLICATE_FNS[mesh] = fn
+    return jax.device_get(fn(tree))
 
 
 def host_to_global(tree, mesh: Optional[Mesh]):

@@ -183,55 +183,68 @@ class ReplayBuffer:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tmp = path + ".tmp.npz"
         saver = np.savez_compressed if compress else np.savez
+        # rows are persisted in AGE order (oldest first): once the ring has
+        # wrapped, slot order != age order, and load()'s head=n%capacity
+        # reconstruction is only correct for age-ordered rows — this keeps
+        # newest-row diagnostics and the validation fallback valid across a
+        # resume (and across capacity changes)
+        ids = (self.head - self.size + np.arange(self.size)) % self.capacity
         extra = {}
         if self.val is not None and self.val.size:
             v = self.val
-            extra = dict(val_state=v.state[:v.size],
-                         val_pi_vals=v.pi_vals[:v.size],
-                         val_pi_idx=v.pi_idx[:v.size],
-                         val_z=v.z[:v.size], val_q=v.q[:v.size],
-                         val_valids=v.valids[:v.size],
+            vids = (v.head - v.size + np.arange(v.size)) % v.capacity
+            extra = dict(val_state=v.state[vids],
+                         val_pi_vals=v.pi_vals[vids],
+                         val_pi_idx=v.pi_idx[vids],
+                         val_z=v.z[vids], val_q=v.q[vids],
+                         val_valids=v.valids[vids],
                          val_meta=np.array([v.head, v.size, v.total_added]))
-        saver(tmp, state=self.state[:self.size],
-              pi_vals=self.pi_vals[:self.size],
-              pi_idx=self.pi_idx[:self.size],
-              z=self.z[:self.size], q=self.q[:self.size],
-              valids=self.valids[:self.size],
+        saver(tmp, state=self.state[ids],
+              pi_vals=self.pi_vals[ids],
+              pi_idx=self.pi_idx[ids],
+              z=self.z[ids], q=self.q[ids],
+              valids=self.valids[ids],
               meta=np.array([self.head, self.size, self.total_added,
                              self.k_pi]), **extra)
         os.replace(tmp, path if path.endswith(".npz") else path + ".npz")
 
     def load(self, path: str):
         d = np.load(path)
-        n = min(int(d["meta"][1]), self.capacity)
+        total = int(d["meta"][1])
+        n = min(total, self.capacity)
+        # rows on disk are age-ordered (oldest first, see save()); when the
+        # target buffer is smaller, keep the NEWEST n rows
+        s = total - n
         if "pi" in d:  # legacy dense-format snapshot
-            pi = d["pi"][:n].astype(np.float32)
+            pi = d["pi"][s:s + n].astype(np.float32)
             k = min(self.k_pi, pi.shape[-1])
             idx = np.argpartition(-pi, k - 1, axis=-1)[:, :k].astype(np.int32)
             self.pi_idx[:n, :k] = idx
             self.pi_vals[:n, :k] = np.take_along_axis(pi, idx, axis=-1)
-            self.valids[:n] = np.packbits(d["valids"][:n], axis=-1)
+            self.valids[:n] = np.packbits(d["valids"][s:s + n], axis=-1)
         else:
             k = min(self.k_pi, d["pi_vals"].shape[-1])
-            self.pi_vals[:n, :k] = d["pi_vals"][:n, :k]
-            self.pi_idx[:n, :k] = d["pi_idx"][:n, :k]
-            self.valids[:n] = d["valids"][:n]
-        self.state[:n] = d["state"][:n]
-        self.z[:n] = d["z"][:n]
-        self.q[:n] = d["q"][:n]
+            self.pi_vals[:n, :k] = d["pi_vals"][s:s + n, :k]
+            self.pi_idx[:n, :k] = d["pi_idx"][s:s + n, :k]
+            self.valids[:n] = d["valids"][s:s + n]
+        self.state[:n] = d["state"][s:s + n]
+        self.z[:n] = d["z"][s:s + n]
+        self.q[:n] = d["q"][s:s + n]
         self.size = n
         self.head = n % self.capacity
         self.total_added = int(d["meta"][2])
         if self.val is not None and "val_state" in d:
             v = self.val
-            m = min(int(d["val_meta"][1]), v.capacity)
+            vtotal = int(d["val_meta"][1])
+            m = min(vtotal, v.capacity)
+            vs = vtotal - m
             kv = min(v.k_pi, d["val_pi_vals"].shape[-1])
-            v.state[:m] = d["val_state"][:m]
-            v.pi_vals[:m, :kv] = d["val_pi_vals"][:m, :kv]
-            v.pi_idx[:m, :kv] = d["val_pi_idx"][:m, :kv]
-            v.z[:m] = d["val_z"][:m]
-            v.q[:m] = d["val_q"][:m]
-            v.valids[:m] = d["val_valids"][:m]
+            v.state[:m] = d["val_state"][vs:vs + m]
+            v.pi_vals[:m, :kv] = d["val_pi_vals"][vs:vs + m, :kv]
+            v.pi_idx[:m, :kv] = d["val_pi_idx"][vs:vs + m, :kv]
+            v.z[:m] = d["val_z"][vs:vs + m]
+            v.q[:m] = d["val_q"][vs:vs + m]
+            v.valids[:m] = d["val_valids"][vs:vs + m]
             v.size = m
             v.head = m % v.capacity
             v.total_added = int(d["val_meta"][2])

@@ -134,10 +134,18 @@ class Coach:
             # engines with a measured TPU long-scan fault threshold
             # (docs/tpu_limits.md) auto-chunk instead of crashing the worker
             chunk = self.spec.safe_scan_moves
+            if (self.spec.safe_scan_sims
+                    and cfg.mcts.num_sims > self.spec.safe_scan_sims):
+                # the fault threshold shrinks with program size: a chunk
+                # measured safe at safe_scan_sims is NOT safe beyond it
+                # (splendor: 8 moves ok at sims=100, faults at sims=200
+                # where only 1-move programs pass — docs/tpu_limits.md)
+                chunk = 1
             if self.iteration <= 1:
                 log.info("auto-chunking self-play scans to %d moves "
-                         "(TPU long-scan fault threshold for %s, "
-                         "docs/tpu_limits.md)", chunk, self.spec.name)
+                         "(TPU long-scan fault threshold for %s at "
+                         "num_sims=%d, docs/tpu_limits.md)", chunk,
+                         self.spec.name, cfg.mcts.num_sims)
         episodes = 0
         examples = 0
         sims = 0

@@ -188,6 +188,45 @@ def test_codec_roundtrips():
     np.testing.assert_allclose(back_np, pi, atol=2e-3)
 
 
+def _fill(buf, lo, hi):
+    for i in range(lo, hi):
+        st = np.full((1, 2), i % 127, np.int8)
+        buf._insert(st, np.zeros((1, 3), np.float16),
+                    np.zeros((1, 3), np.int32),
+                    np.full((1, 2), i, np.float16),
+                    np.zeros((1, 2), np.float16),
+                    np.zeros((1, 1), np.uint8))
+
+
+def test_wrapped_ring_save_load_age_order(tmp_path):
+    """After the ring wraps, save() persists rows oldest-first so a resumed
+    buffer's head/newest-row indexing stays correct (ADVICE r3), and a
+    smaller buffer keeps the NEWEST rows on load."""
+    buf = ReplayBuffer(10, (2,), 3, 2, pi_budget=3)
+    _fill(buf, 0, 17)           # wrapped: holds rows 7..16, head at 7
+    assert buf.size == 10 and buf.head == 7
+    p = str(tmp_path / "wrapped.npz")
+    buf.save(p)
+
+    buf2 = ReplayBuffer(10, (2,), 3, 2, pi_budget=3)
+    buf2.load(p)
+    assert buf2.size == 10
+    # age order restored: slot 0 = oldest surviving row (7), slot 9 = newest
+    np.testing.assert_array_equal(buf2.z[:10, 0],
+                                  np.arange(7, 17, dtype=np.float16))
+    # continuing to insert overwrites the OLDEST row first
+    _fill(buf2, 17, 18)
+    assert 7.0 not in buf2.z[:10, 0]
+    assert 17.0 in buf2.z[:10, 0]
+
+    # truncating load into a smaller buffer keeps the newest rows
+    small = ReplayBuffer(4, (2,), 3, 2, pi_budget=3)
+    small.load(p)
+    assert small.size == 4
+    np.testing.assert_array_equal(small.z[:4, 0],
+                                  np.arange(13, 17, dtype=np.float16))
+
+
 def test_ring_overwrite():
     buf = ReplayBuffer(10, (2,), 3, 2, pi_budget=3)
     for i in range(4):
