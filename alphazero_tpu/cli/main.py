@@ -42,6 +42,14 @@ def build_config(argv=None):
                    help="tree descent depth cap (0 = unbounded/exact "
                    "search — the dense engine's cost no longer grows with "
                    "descent depth); capped revisits back up the stored Q")
+    p.add_argument("--arena-stages", type=int, default=4,
+                   help="sim-scan stages over growing node arenas (compute "
+                        "saver); 1 compiles the smallest per-move program "
+                        "(engines near the TPU size fault, docs/tpu_limits.md)")
+    p.add_argument("--pcr-merged", action="store_true",
+                   help="run PCR full+fast lanes in ONE per-lane-budget "
+                        "search instead of two right-sized ones: ~half the "
+                        "compiled per-move body, more device compute")
     p.add_argument("--tree-dtype", default="bfloat16",
                    help="search-tree prior/q storage dtype (bfloat16 halves "
                    "the per-simulation dense passes; float32 = parity-test "
@@ -100,11 +108,12 @@ def build_config(argv=None):
             forced_playouts=args.forced_playouts,
             ratio_full=args.ratio_fullMCTS, prob_full=args.prob_fullMCTS,
             universes=args.universes, max_depth=args.max_depth,
-            q_dtype=args.tree_dtype, prior_dtype=args.tree_dtype),
+            q_dtype=args.tree_dtype, prior_dtype=args.tree_dtype,
+            arena_stages=args.arena_stages),
         selfplay=SelfPlayConfig(
             batch_size=args.selfplay_batch, temp_begin=args.temperature[0],
             temp_end=args.temperature[1], temp_half_life=args.tempThreshold,
-            scan_moves=args.scan_moves),
+            scan_moves=args.scan_moves, pcr_split=not args.pcr_merged),
         train=TrainConfig(
             learn_rate=args.learn_rate,
             lr_anneal_iters=args.lr_anneal_iters, lr_final=args.lr_final,

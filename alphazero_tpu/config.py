@@ -57,6 +57,12 @@ class SelfPlayConfig:
     #                                max length; smaller trades some wasted
     #                                unfinished-episode slots for a smaller
     #                                compiled program)
+    pcr_split: bool = True         # True: full/fast PCR lanes run two
+    #                                right-sized searches (less compute);
+    #                                False: ONE merged search with per-lane
+    #                                budgets — halves the compiled per-move
+    #                                body, for engines near the TPU
+    #                                program-size fault (docs/tpu_limits.md)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -105,18 +105,32 @@ def _one_move_factory(spec: GameSpec, net, params, mc: MCTSConfig,
                 jnp.full((nb,), forced, bool),
                 cfg=mc, num_sims_max=sims, use_noise=noise)[0]
 
-        out_f = search(perm[:n_full], mc.num_sims, use_noise,
-                       mc.forced_playouts)
-        if n_full < B:
-            out_s = search(perm[n_full:], n_fast, False, False)
-
-            def unsplit(a, b):
-                buf = jnp.zeros((B,) + a.shape[1:], a.dtype)
-                return buf.at[perm[:n_full]].set(a).at[perm[n_full:]].set(b)
-
-            out = jax.tree.map(unsplit, out_f, out_s)
+        if not sp.pcr_split and n_full < B:
+            # merged PCR: ONE search over all lanes with per-lane budgets
+            # (fast lanes sit masked-inactive past n_fast sims).  Spends
+            # more device compute than the two right-sized searches but
+            # compiles HALF the per-move body — the binding constraint for
+            # engines near the TPU program-size fault (docs/tpu_limits.md)
+            out, _ = mcts_search(
+                spec, eval_fn, params, states, jax.random.fold_in(k_mcts, 1),
+                jnp.where(full, mc.num_sims, n_fast).astype(jnp.int32),
+                full & use_noise,
+                full & mc.forced_playouts,
+                cfg=mc, num_sims_max=mc.num_sims, use_noise=use_noise)
         else:
-            out = out_f
+            out_f = search(perm[:n_full], mc.num_sims, use_noise,
+                           mc.forced_playouts)
+            if n_full < B:
+                out_s = search(perm[n_full:], n_fast, False, False)
+
+                def unsplit(a, b):
+                    buf = jnp.zeros((B,) + a.shape[1:], a.dtype)
+                    return (buf.at[perm[:n_full]].set(a)
+                            .at[perm[n_full:]].set(b))
+
+                out = jax.tree.map(unsplit, out_f, out_s)
+            else:
+                out = out_f
 
         # temperature decay by episode step (episodeStep starts at 1,
         # Coach.py:59-63)

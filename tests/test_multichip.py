@@ -33,6 +33,55 @@ def test_coach_builds_mesh_and_trains():
     assert np.isfinite(float(jnp.sum(jnp.abs(leaf))))
 
 
+def test_chunked_codec_under_mesh_matches_unmeshed():
+    """The production splendor configuration — run_selfplay_chunked + codec
+    on a data mesh, on an engine with safe_scan_moves set — must execute
+    under the mesh and produce BIT-IDENTICAL encoded rows to the unmeshed
+    run (sharding is placement, not semantics)."""
+    from alphazero_tpu.config import MCTSConfig, SelfPlayConfig, NetConfig
+    from alphazero_tpu.games import make_game
+    from alphazero_tpu.models import init_params, make_net
+    from alphazero_tpu.selfplay.actor import run_selfplay_chunked
+
+    spec = make_game("splendor")
+    assert spec.safe_scan_moves  # the engine this path exists for
+    # cap games at round 8 (real splendor games run ~50+ moves — far too
+    # long for a unit test): identical in both runs, so the meshed/unmeshed
+    # bit-equality this test asserts is unaffected
+    base_terminal, get_round = spec.terminal, spec.get_round
+    draw = jnp.full((spec.num_players,), 0.01, jnp.float32)
+
+    def capped_terminal(state):
+        t = base_terminal(state)
+        hit_cap = (get_round(state) >= 8) & ~jnp.any(t != 0)
+        return jnp.where(hit_cap, draw, t)
+
+    spec = dataclasses.replace(spec, terminal=capped_terminal)
+    net = make_net(spec, NetConfig(version=1, channels=16, depth=1))
+    params = init_params(net, spec, jax.random.PRNGKey(0))
+    mc = MCTSConfig(num_sims=8, ratio_full=4, universes=5,
+                    forced_playouts=True)
+    sp = SelfPlayConfig(batch_size=16)
+    kw = dict(mc=mc, sp=sp, num_moves=12, chunk_moves=4, batch_size=16,
+              k_pi=8)
+
+    mesh = make_mesh(num_data=8, num_model=1)
+    encs_m, stats_m = run_selfplay_chunked(
+        spec, net, params, jax.random.PRNGKey(5), mesh=mesh, **kw)
+    encs_u, stats_u = run_selfplay_chunked(
+        spec, net, params, jax.random.PRNGKey(5), mesh=None, **kw)
+
+    assert int(stats_m.episodes_done) == int(stats_u.episodes_done)
+    assert int(stats_m.examples) == int(stats_u.examples) > 0
+    assert len(encs_m) == len(encs_u)
+    for em, eu in zip(encs_m, encs_u):
+        for f in ("state", "pi_vals", "pi_idx", "valids", "z", "q",
+                  "weight", "lane"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(em, f)), np.asarray(getattr(eu, f)),
+                err_msg=f"field {f} differs under mesh")
+
+
 def test_selfplay_lanes_actually_sharded():
     from alphazero_tpu.config import MCTSConfig, NetConfig, SelfPlayConfig
     from alphazero_tpu.games import make_game

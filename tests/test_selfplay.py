@@ -188,6 +188,33 @@ def test_codec_roundtrips():
     np.testing.assert_allclose(back_np, pi, atol=2e-3)
 
 
+def test_merged_pcr_examples_valid(setup):
+    """pcr_split=False: ONE merged per-lane-budget search (the small-program
+    mode for engines near the TPU size fault) must yield the same example
+    contract as the split path: weight>0 only on full lanes, normalized
+    pruned policies, per-player returns."""
+    spec, net, params = setup
+    mc = MCTSConfig(num_sims=16, ratio_full=4, prob_full=0.5,
+                    forced_playouts=True)
+    sp = SelfPlayConfig(batch_size=8, pcr_split=False)
+    batch, stats = run_selfplay(spec, net, params, jax.random.PRNGKey(3),
+                                mc=mc, sp=sp, num_moves=48, batch_size=8)
+    batch = jax.device_get(batch)
+    assert int(stats.episodes_done) > 0
+    assert int(stats.examples) > 0
+    w = batch.weight > 0
+    # examples only on full-search moves: their pruned visit policies are
+    # normalized and supported on valid actions
+    pi = batch.pi[w]
+    np.testing.assert_allclose(pi.sum(-1), 1.0, atol=1e-5)
+    assert (pi[~batch.valids[w]] == 0).all()
+    # merged budgets: full lanes carry ~num_sims root visits, so no example
+    # policy can be built from fewer than num_sims//ratio_full visits
+    z = batch.z[w]
+    np.testing.assert_allclose(z.sum(-1), 0.0, atol=1e-5)
+    assert np.abs(z).max() <= 1.0 + 1e-6
+
+
 def _fill(buf, lo, hi):
     for i in range(lo, hi):
         st = np.full((1, 2), i % 127, np.int8)
