@@ -5,21 +5,130 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Baseline: the reference achieves ~3000 MCTS rollouts/s on one CPU core with
-NN inference >70% of runtime (BASELINE.md; /root/reference/README_features.md:2-3).
-Our unit is identical: one MCTS simulation = one tree descent + one NN
-evaluation + backup.
+NN inference >70% of runtime (BASELINE.md; /root/reference/README_features.md:2-3)
+— and the SAME ~3000/s for every game (README_features.md:2).  So the default
+output carries two rows: the santorini flagship (headline `value`) and
+splendor (`extra.splendor`), the chance-heavy engine that stresses the
+program-size limits (docs/tpu_limits.md).  Each row also reports MFU: XLA
+cost-analysis FLOPs of the actual compiled self-play program divided by
+wall time and the chip's peak (the reference counts net FLOPs with fvcore,
+GenericNNetWrapper.py:389-397).
 """
 
 import argparse
 import json
 import time
 
+# bf16 peak FLOP/s by device_kind prefix (public TPU specs)
+PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5": 459e12,        # v5p (after the more specific v5 lite)
+    "TPU v6 lite": 918e12,   # v6e (Trillium)
+}
+
+
+def peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for prefix, peak in PEAK_FLOPS.items():
+        if kind.startswith(prefix):
+            return peak
+    return 0.0
+
+
+def bench_game(game, variant, *, B, sims, moves, ch, depth, tree_dtype,
+               max_depth, reps, platform):
+    import jax
+
+    from alphazero_tpu.config import MCTSConfig, NetConfig, SelfPlayConfig
+    from alphazero_tpu.games import make_game
+    from alphazero_tpu.models import init_params, make_net
+    from alphazero_tpu.selfplay.actor import (_init_carry, _selfplay_chunk,
+                                              run_selfplay,
+                                              run_selfplay_chunked)
+
+    spec = make_game(game, **variant)
+    net = make_net(spec, NetConfig(version=1, channels=ch, depth=depth))
+    params = init_params(net, spec, jax.random.PRNGKey(0))
+    mc = MCTSConfig(num_sims=sims, ratio_full=4, prob_full=0.25,
+                    forced_playouts=True, max_depth=max_depth,
+                    q_dtype=tree_dtype, prior_dtype=tree_dtype)
+    sp = SelfPlayConfig(batch_size=B)
+
+    # production program shape: scan-fault engines chunk on TPU exactly as
+    # the Coach does (train/coach.py self_play; docs/tpu_limits.md)
+    chunk = 0
+    if platform != "cpu" and spec.safe_scan_moves \
+            and spec.safe_scan_moves < moves:
+        chunk = spec.safe_scan_moves
+        if spec.safe_scan_sims and sims > spec.safe_scan_sims:
+            chunk = 1
+
+    if chunk:
+        def run(key):
+            batch, stats = run_selfplay_chunked(
+                spec, net, params, key, mc=mc, sp=sp, num_moves=moves,
+                chunk_moves=chunk, batch_size=B)
+            jax.block_until_ready(batch.state)
+            return stats
+
+        # cost of one chunk program x executions per run
+        carry = _init_carry(spec, jax.random.PRNGKey(0), B)
+        lowered = _selfplay_chunk.lower(spec, net, params, carry, mc=mc,
+                                        sp=sp, num_moves=chunk, batch_size=B)
+        n_exec = -(-moves // chunk)
+    else:
+        def run(key):
+            batch, stats = run_selfplay(spec, net, params, key, mc=mc,
+                                        sp=sp, num_moves=moves, batch_size=B)
+            jax.block_until_ready(batch.state)
+            return stats
+
+        lowered = run_selfplay.lower(spec, net, params,
+                                     jax.random.PRNGKey(0), mc=mc, sp=sp,
+                                     num_moves=moves, batch_size=B)
+        n_exec = 1
+    try:
+        ca = lowered.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops_per_exec = float(ca.get("flops", 0.0))
+    except Exception:                                    # backend-dependent
+        flops_per_exec = 0.0
+
+    run(jax.random.PRNGKey(0))    # warmup (compile)
+    t0 = time.perf_counter()
+    sims_total = 0
+    moves_total = 0
+    for r in range(reps):
+        stats = run(jax.random.PRNGKey(r + 1))
+        sims_total += int(stats.sims)
+        moves_total += int(stats.moves)
+    dt = time.perf_counter() - t0
+
+    flops_per_s = flops_per_exec * n_exec * reps / dt
+    peak = peak_flops(jax.devices()[0])
+    row = {
+        "game": spec.name,
+        "sims_per_s": round(sims_total / dt, 1),
+        "env_steps_per_s": round(moves_total / dt, 1),
+        # reference: ~3000 rollouts/s on one i5 core (README_features.md:2)
+        "vs_baseline": round(sims_total / dt / 3000.0, 2),
+        "batch": B,
+        "num_sims": sims,
+        "chunk_moves": chunk,
+        "net": f"{type(net).__name__}_{ch}x{depth}",
+        "tflops_per_s": round(flops_per_s / 1e12, 3),
+        "mfu": round(flops_per_s / peak, 4) if peak else None,
+        "wall_s": round(dt, 2),
+    }
+    return row
+
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--game", default="santorini",
-                    help="any registry game (santorini benches the "
-                    "flagship no-gods variant)")
+    ap.add_argument("--game", default=None,
+                    help="bench ONE registry game instead of the default "
+                    "santorini+splendor pair")
     ap.add_argument("--variant", default=None,
                     help='game variant JSON (default: flagship variant)')
     ap.add_argument("--quick", action="store_true",
@@ -44,68 +153,48 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    from alphazero_tpu.config import MCTSConfig, NetConfig, SelfPlayConfig
-    from alphazero_tpu.games import make_game
-    from alphazero_tpu.models import init_params, make_net
-    from alphazero_tpu.selfplay.actor import run_selfplay
-
     platform = jax.devices()[0].platform
     if args.quick:
-        B, sims, moves, ch, depth = 32, 16, 4, 32, 2
+        B, sims, moves, ch, depth, reps = 32, 16, 4, 32, 2, 1
     else:
         B = args.batch or (4096 if platform != "cpu" else 64)
-        sims, moves, ch, depth = args.sims, args.moves, args.channels, args.depth
+        sims, moves, ch, depth, reps = (args.sims, args.moves, args.channels,
+                                        args.depth, 3)
 
-    import json as _json
-    if args.variant is not None:
-        variant = _json.loads(args.variant)
-    elif args.game == "santorini":
-        variant = dict(nb_gods=1, init_method=1)
+    def variant_for(game):
+        if args.variant is not None:
+            return json.loads(args.variant)
+        if game == "santorini":
+            return dict(nb_gods=1, init_method=1)
+        return {}
+
+    kw = dict(sims=sims, moves=moves, ch=ch, depth=depth,
+              tree_dtype=args.tree_dtype, max_depth=args.max_depth,
+              reps=reps, platform=platform)
+
+    if args.game:
+        games = [args.game]
+    elif args.quick:
+        games = ["santorini"]
     else:
-        variant = {}
-    spec = make_game(args.game, **variant)
-    net = make_net(spec, NetConfig(version=1, channels=ch, depth=depth))
-    params = init_params(net, spec, jax.random.PRNGKey(0))
-    mc = MCTSConfig(num_sims=sims, ratio_full=4, prob_full=0.25,
-                    forced_playouts=True, max_depth=args.max_depth,
-                    q_dtype=args.tree_dtype, prior_dtype=args.tree_dtype)
-    sp = SelfPlayConfig(batch_size=B)
+        # default: flagship headline + the chance-heavy stress engine, so
+        # the committed number never hides the slowest game
+        games = ["santorini", "splendor"]
 
-    def run(key):
-        batch, stats = run_selfplay(spec, net, params, key, mc=mc, sp=sp,
-                                    num_moves=moves, batch_size=B)
-        jax.block_until_ready(batch.state)
-        return stats
+    rows = [bench_game(g, variant_for(g),
+                       B=(B if g == "santorini" else min(B, 2048)), **kw)
+            for g in games]
 
-    # warmup (compile)
-    run(jax.random.PRNGKey(0))
-    t0 = time.perf_counter()
-    reps = 1 if args.quick else 3
-    sims_total = 0
-    moves_total = 0
-    for r in range(reps):
-        stats = run(jax.random.PRNGKey(r + 1))
-        sims_total += int(stats.sims)
-        moves_total += int(stats.moves)
-    dt = time.perf_counter() - t0
-
-    sims_per_s = sims_total / dt
+    head = rows[0]
     result = {
         "metric": "selfplay_mcts_sims_per_s",
-        "value": round(sims_per_s, 1),
+        "value": head["sims_per_s"],
         "unit": "sims/s",
-        # reference: ~3000 rollouts/s on one i5 core (README_features.md:2)
-        "vs_baseline": round(sims_per_s / 3000.0, 2),
-        "extra": {
-            "game": spec.name,
-            "platform": platform,
-            "batch": B,
-            "num_sims": sims,
-            "env_steps_per_s": round(moves_total / dt, 1),
-            "net": f"{type(net).__name__}_{ch}x{depth}",
-            "wall_s": round(dt, 2),
-        },
+        "vs_baseline": head["vs_baseline"],
+        "extra": {"platform": platform, **head},
     }
+    for row in rows[1:]:
+        result["extra"][row["game"]] = row
     print(json.dumps(result))
 
 
