@@ -50,6 +50,11 @@ def build_config(argv=None):
                    help="run PCR full+fast lanes in ONE per-lane-budget "
                         "search instead of two right-sized ones: ~half the "
                         "compiled per-move body, more device compute")
+    p.add_argument("--dyn", action="store_true",
+                   help="dynamic self-play: data-dependent move while_loop "
+                        "(+ dyn_sims) — ONE small compiled program with "
+                        "on-device quota exit; the scan-fault escape path "
+                        "(docs/tpu_limits.md)")
     p.add_argument("--tree-dtype", default="bfloat16",
                    help="search-tree prior/q storage dtype (bfloat16 halves "
                    "the per-simulation dense passes; float32 = parity-test "
@@ -109,11 +114,12 @@ def build_config(argv=None):
             ratio_full=args.ratio_fullMCTS, prob_full=args.prob_fullMCTS,
             universes=args.universes, max_depth=args.max_depth,
             q_dtype=args.tree_dtype, prior_dtype=args.tree_dtype,
-            arena_stages=args.arena_stages),
+            arena_stages=args.arena_stages, dyn_sims=args.dyn),
         selfplay=SelfPlayConfig(
             batch_size=args.selfplay_batch, temp_begin=args.temperature[0],
             temp_end=args.temperature[1], temp_half_life=args.tempThreshold,
-            scan_moves=args.scan_moves, pcr_split=not args.pcr_merged),
+            scan_moves=args.scan_moves, pcr_split=not args.pcr_merged,
+            dyn=args.dyn),
         train=TrainConfig(
             learn_rate=args.learn_rate,
             lr_anneal_iters=args.lr_anneal_iters, lr_final=args.lr_final,

@@ -35,6 +35,15 @@ class MCTSConfig:
     #                                (>1 amortizes TPU loop-control sync at
     #                                the cost of masked wasted levels;
     #                                measured neutral on the TPU bench)
+    dyn_sims: bool = False         # run the sim loop as a lax.while_loop
+    #                                with a data-dependent bound (max live
+    #                                budget): the backend cannot unroll it,
+    #                                so the compiled program holds ONE sim
+    #                                body regardless of num_sims — the
+    #                                scan-fault escape hatch
+    #                                (docs/tpu_limits.md).  Bit-exact with
+    #                                the scan path; forces a full-width
+    #                                arena (no staging savings)
     arena_stages: int = 4          # run the sim scan in k stages over growing
     #                                node arenas (sim s only needs s+1 nodes,
     #                                and per-sim pass cost scales with arena
@@ -57,6 +66,12 @@ class SelfPlayConfig:
     #                                max length; smaller trades some wasted
     #                                unfinished-episode slots for a smaller
     #                                compiled program)
+    dyn: bool = False              # data-dependent move loop
+    #                                (run_selfplay_dyn): while_loop the
+    #                                backend cannot unroll + ON-DEVICE quota
+    #                                early-exit — one program per iteration,
+    #                                no chunking, no per-chunk host trips;
+    #                                bit-exact with the scan path
     pcr_split: bool = True         # True: full/fast PCR lanes run two
     #                                right-sized searches (less compute);
     #                                False: ONE merged search with per-lane

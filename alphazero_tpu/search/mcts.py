@@ -201,17 +201,45 @@ def mcts_search(spec: GameSpec, eval_fn: EvalFn, eval_args,
     best0, code0 = dense_best_action(trees, cfg.cpuct, cfg.fpu, forced_mask,
                                      jnp.int32(1))
     carry = (trees, best0, code0)
-    start = 1
-    for end, size in zip(ends, stage_sizes):
-        t, b, c = carry
-        if size > t.prior.shape[1]:
-            dn = size - t.prior.shape[1]
-            t = grow_tree(t, size)
+    if cfg.dyn_sims:
+        # DATA-DEPENDENT trip count: the simulation loop runs to the max
+        # live budget as a lax.while_loop the backend cannot unroll — the
+        # compiled program is one sim body regardless of num_sims (the
+        # known-trip-count scans below are what blow up compile resources
+        # on scan-fault engines, docs/tpu_limits.md).  Bit-exact with the
+        # scan path: identical sim_idx stream, inactive sims are masked
+        # no-ops either way.  Requires a full-width arena (stage_sizes[-1]).
+        if stage_sizes[0] != N:
+            t, b, c = carry
+            dn = N - t.prior.shape[1]
+            t = grow_tree(t, N)
             b = jnp.pad(b, ((0, 0), (0, dn)))
             c = jnp.pad(c, ((0, 0), (0, dn)), constant_values=-1)
-        carry, _ = jax.lax.scan(one_sim, (t, b, c),
-                                jnp.arange(start, end, dtype=jnp.int32))
-        start = end
+            carry = (t, b, c)
+        end_dyn = jnp.minimum(jnp.max(eff_budgets) + 1,
+                              jnp.int32(n_steps_plan))
+
+        def cond(st):
+            return st[0] < end_dyn
+
+        def body(st):
+            sim_idx, c = st
+            c, _ = one_sim(c, sim_idx)
+            return (sim_idx + 1, c)
+
+        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(1), carry))
+    else:
+        start = 1
+        for end, size in zip(ends, stage_sizes):
+            t, b, c = carry
+            if size > t.prior.shape[1]:
+                dn = size - t.prior.shape[1]
+                t = grow_tree(t, size)
+                b = jnp.pad(b, ((0, 0), (0, dn)))
+                c = jnp.pad(c, ((0, 0), (0, dn)), constant_values=-1)
+            carry, _ = jax.lax.scan(one_sim, (t, b, c),
+                                    jnp.arange(start, end, dtype=jnp.int32))
+            start = end
     trees = carry[0]
 
     # --- outputs (reference getActionProb, MCTS.py:67-83) -------------------

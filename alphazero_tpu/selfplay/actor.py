@@ -233,6 +233,91 @@ def run_selfplay(spec: GameSpec, net, params, key, *, mc: MCTSConfig,
 
 @functools.partial(jax.jit,
                    static_argnames=("spec", "net", "mc", "sp", "num_moves",
+                                    "batch_size", "mesh"))
+def run_selfplay_dyn(spec: GameSpec, net, params, key, quota, *,
+                     mc: MCTSConfig, sp: SelfPlayConfig, num_moves: int,
+                     batch_size: int,
+                     mesh=None) -> Tuple[SelfPlayBatch, SelfPlayStats]:
+    """run_selfplay with a DATA-DEPENDENT move loop: a lax.while_loop that
+    stops at `quota` completed episodes (a traced scalar) or `num_moves`
+    slots, whichever first, writing records into preallocated (T, ...)
+    buffers.  Unwritten slots stay zero (done=False, full=False -> weight 0).
+
+    Two reasons this exists (docs/tpu_limits.md):
+    - the data-dependent bound cannot be unrolled by the backend, so the
+      compiled program holds ONE move body regardless of num_moves — where
+      known-trip-count scans of scan-fault engines (splendor) kill the TPU
+      worker past an engine-dependent length;
+    - the quota early-exit runs ON DEVICE: one program per iteration, no
+      per-chunk host round-trips.
+
+    Combine with cfg.mcts.dyn_sims=True for the smallest program (one sim
+    body x one move body).  RNG streams match run_selfplay exactly, so up
+    to the stopping point the produced examples are bit-identical."""
+    B = batch_size
+    P = spec.num_players
+    A = spec.num_actions
+    T = num_moves
+    carry0 = _init_carry(spec, key, B, mesh)
+    one_move = _one_move_factory(spec, net, params, mc, sp, B)
+
+    bufs0 = dict(
+        state=jnp.zeros((T, B) + spec.state_shape, carry0[0].dtype),
+        pi=jnp.zeros((T, B, A), jnp.float32),
+        valids=jnp.zeros((T, B, A), bool),
+        q=jnp.zeros((T, B, P), jnp.float32),
+        player=jnp.zeros((T, B), jnp.int32),
+        full=jnp.zeros((T, B), bool),
+        done=jnp.zeros((T, B), bool),
+        result_abs=jnp.zeros((T, B, P), jnp.float32),
+        sims=jnp.zeros((T,), jnp.int32),
+    )
+    quota = jnp.minimum(jnp.asarray(quota, jnp.int32), T * B)
+
+    def cond(st):
+        t, _, _, eps = st
+        return (t < T) & (eps < quota)
+
+    def body(st):
+        t, carry, bufs, eps = st
+        carry, rec = one_move(carry, t)
+        bufs = {k: jax.lax.dynamic_update_index_in_dim(bufs[k], rec[k], t, 0)
+                for k in bufs}
+        return (t + 1, carry, bufs,
+                (eps + jnp.sum(rec["done"])).astype(jnp.int32))
+
+    t_end, _, recs, episodes = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), carry0, bufs0, jnp.int32(0)))
+
+    # reverse backfill over the static buffer: slots >= t_end are all-zero
+    # (done=False) and contribute nothing
+    def backfill(carry, rec):
+        pending, have = carry
+        pending = jnp.where(rec["done"][:, None], rec["result_abs"], pending)
+        have = have | rec["done"]
+        z = jax.vmap(jnp.roll)(pending, -rec["player"])
+        w = (have & rec["full"]).astype(jnp.float32)
+        return (pending, have), (z, w)
+
+    bf0 = (jnp.zeros((B, P), jnp.float32), jnp.zeros((B,), bool))
+    _, (z, weight) = jax.lax.scan(backfill, bf0, recs, reverse=True)
+
+    batch = SelfPlayBatch(state=recs["state"], pi=recs["pi"], z=z,
+                          q=recs["q"], valids=recs["valids"], weight=weight)
+    moves = t_end * B
+    stats = SelfPlayStats(
+        episodes_done=episodes,
+        examples=jnp.sum((weight > 0).astype(jnp.int32)),
+        moves=moves,
+        sims=jnp.sum(recs["sims"]),
+        avg_game_length=moves /
+        jnp.maximum(episodes.astype(jnp.float32), 1.0),
+    )
+    return batch, stats
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "net", "mc", "sp", "num_moves",
                                     "batch_size"))
 def _selfplay_chunk(spec, net, params, carry, *, mc, sp, num_moves,
                     batch_size):

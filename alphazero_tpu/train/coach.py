@@ -151,7 +151,26 @@ class Coach:
         sims = 0
         t0 = time.time()
         while episodes < cfg.train.games_per_iter:
-            if chunk and chunk < num_moves:
+            if cfg.selfplay.dyn:
+                # dynamic path: ONE small program (while_loop move body the
+                # backend cannot unroll) with the quota exit on device —
+                # supersedes chunking for scan-fault engines
+                from alphazero_tpu.parallel.mesh import fetch_replicated
+                from alphazero_tpu.selfplay.actor import run_selfplay_dyn
+                from alphazero_tpu.selfplay.codec import encode_examples
+                batch, stats = run_selfplay_dyn(
+                    self.spec, self.net, self.state.params, self._next_key(),
+                    cfg.train.games_per_iter - episodes,
+                    mc=cfg.mcts, sp=cfg.selfplay, num_moves=num_moves,
+                    batch_size=B, mesh=self.mesh)
+                n_full = min(B, max(1, round(B * cfg.mcts.prob_full)))
+                enc = encode_examples(batch, num_rows=num_moves * n_full,
+                                      k_pi=self.replay.k_pi)
+                examples += self.replay.add_encoded(
+                    fetch_replicated(enc, self.mesh))
+                episodes += int(stats.episodes_done)
+                sims += int(stats.sims)
+            elif chunk and chunk < num_moves:
                 # chunked path (long-scan TPU fault workaround) — same codec
                 # + mesh treatment as the fast path: encode on device per
                 # chunk, transfer only encoded rows

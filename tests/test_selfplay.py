@@ -188,6 +188,39 @@ def test_codec_roundtrips():
     np.testing.assert_allclose(back_np, pi, atol=2e-3)
 
 
+def test_dyn_selfplay_bitexact_and_quota(setup):
+    """run_selfplay_dyn (data-dependent while_loop move loop + on-device
+    quota exit, the scan-fault escape path) is BIT-IDENTICAL to
+    run_selfplay when the quota never binds — with and without dyn_sims —
+    and stops early when it does."""
+    import dataclasses
+
+    from alphazero_tpu.selfplay.actor import run_selfplay_dyn
+
+    spec, net, params = setup
+    mc = MCTSConfig(num_sims=16, ratio_full=4, prob_full=0.5,
+                    forced_playouts=True)
+    sp = SelfPlayConfig(batch_size=8)
+    kw = dict(mc=mc, sp=sp, num_moves=48, batch_size=8)
+    ref, ref_stats = run_selfplay(spec, net, params, jax.random.PRNGKey(1),
+                                  **kw)
+    for mc_i in (mc, dataclasses.replace(mc, dyn_sims=True)):
+        got, got_stats = run_selfplay_dyn(
+            spec, net, params, jax.random.PRNGKey(1), 10_000,
+            **{**kw, "mc": mc_i})
+        assert int(got_stats.episodes_done) == int(ref_stats.episodes_done)
+        for f in ("state", "pi", "z", "q", "valids", "weight"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)),
+                err_msg=f"dyn(dyn_sims={mc_i.dyn_sims}) field {f} differs")
+
+    # quota early-exit: one finished episode is enough to stop the loop
+    got, st = run_selfplay_dyn(spec, net, params, jax.random.PRNGKey(1), 1,
+                               **kw)
+    assert int(st.episodes_done) >= 1
+    assert int(st.moves) < 48 * 8  # stopped before the buffer filled
+
+
 def test_merged_pcr_examples_valid(setup):
     """pcr_split=False: ONE merged per-lane-budget search (the small-program
     mode for engines near the TPU size fault) must yield the same example
