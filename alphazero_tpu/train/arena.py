@@ -119,6 +119,45 @@ def play_matches(spec: GameSpec, net, params_a, params_b, key, *,
     return _score(result, done, seat_a)
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "net", "cfg",
+                                             "num_games", "temp_half_life",
+                                             "net_b", "reuse_tree",
+                                             "reuse_side", "cfg_b"))
+def play_matches_dyn(spec: GameSpec, net, params_a, params_b, key, *,
+                     cfg: MCTSConfig, num_games: int,
+                     temp_half_life: int = 10, net_b=None,
+                     init_state=None, reuse_tree: bool = False,
+                     reuse_side: str = "both", cfg_b=None) -> ArenaResult:
+    """play_matches with a DATA-DEPENDENT move loop: a lax.while_loop that
+    exits as soon as every lane is done.  Two wins over the scan runner on
+    scan-fault engines (docs/tpu_limits.md): the backend cannot unroll the
+    data-dependent bound (one compiled move body regardless of
+    max_game_length), and finished matches stop paying for empty plies
+    (the scan always runs all max_game_length slots).  Combine with
+    cfg.dyn_sims for the smallest program.  Bit-exact with play_matches:
+    the per-ply RNG stream is identical and frozen lanes don't change."""
+    eval_fn, extra, N, seat_a, k_scan, carry0 = _match_setup(
+        spec, net, key, cfg=cfg, num_games=num_games, net_b=net_b,
+        init_state=init_state, reuse_tree=reuse_tree)
+    one_move = _match_move_factory(
+        spec, eval_fn, params_a, params_b, seat_a, k_scan, cfg=cfg,
+        cfg_b=cfg_b, extra=extra, N=N, temp_half_life=temp_half_life,
+        reuse_tree=reuse_tree, reuse_side=reuse_side)
+
+    def cond(st):
+        t, carry = st
+        return (t < spec.max_game_length) & ~jnp.all(carry[2])
+
+    def body(st):
+        t, carry = st
+        carry, _ = one_move(carry, t)
+        return (t + 1, carry)
+
+    _, (_, _, done, result, *_) = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), carry0))
+    return _score(result, done, seat_a)
+
+
 def play_matches_host(spec: GameSpec, net, params_a, params_b, key, *,
                       cfg: MCTSConfig, num_games: int,
                       temp_half_life: int = 10, net_b=None,
@@ -247,15 +286,22 @@ def _match_move_factory(spec: GameSpec, eval_fn, params_a, params_b, seat_a,
 
 def play_matches_auto(spec: GameSpec, net, params_a, params_b, key,
                       **kw) -> ArenaResult:
-    """play_matches, routed to the host move-loop runner on engines whose
-    whole-game scan exceeds the measured TPU long-scan fault threshold
-    (GameSpec.safe_scan_moves, docs/tpu_limits.md) — the same condition
-    under which Coach.self_play auto-chunks.  On CPU (no fault) the scan
-    runner always wins: one program, no per-move dispatch."""
-    host = (spec.safe_scan_moves
-            and spec.safe_scan_moves < spec.max_game_length
-            and jax.default_backend() not in ("cpu",))
-    fn = play_matches_host if host else play_matches
+    """play_matches, routed around the TPU long-scan fault on engines whose
+    whole-game scan exceeds the measured threshold (GameSpec.safe_scan_moves,
+    docs/tpu_limits.md) — the same condition under which Coach.self_play
+    auto-chunks.  In small-program mode (cfg.dyn_sims) the on-device
+    dynamic runner takes that route (one un-unrollable move body, all-done
+    early exit); otherwise the host move loop does.  On CPU (no fault) the
+    scan runner always wins: one program, no per-move dispatch."""
+    risky = (spec.safe_scan_moves
+             and spec.safe_scan_moves < spec.max_game_length
+             and jax.default_backend() not in ("cpu",))
+    if not risky:
+        fn = play_matches
+    elif kw.get("cfg") is not None and kw["cfg"].dyn_sims:
+        fn = play_matches_dyn
+    else:
+        fn = play_matches_host
     return fn(spec, net, params_a, params_b, key, **kw)
 
 

@@ -112,6 +112,27 @@ def test_arena_host_runner(setup):
     _host_runner_check(setup, reuse=False)
 
 
+def test_arena_dyn_runner_bitexact(setup):
+    """The dynamic (while_loop + all-done early-exit) arena runner is
+    bit-exact with the scan runner: identical per-ply RNG stream, frozen
+    lanes never change, and the early exit only skips no-op plies."""
+    import dataclasses
+
+    from alphazero_tpu.train.arena import play_matches_dyn
+    spec, net, params = setup
+    for mc in (MCTSConfig(num_sims=12),
+               MCTSConfig(num_sims=12, dyn_sims=True)):
+        ref = play_matches(spec, net, params, params, jax.random.PRNGKey(3),
+                           cfg=dataclasses.replace(mc, dyn_sims=False),
+                           num_games=16)
+        got = play_matches_dyn(spec, net, params, params,
+                               jax.random.PRNGKey(3), cfg=mc, num_games=16)
+        assert (int(got.one_wins), int(got.two_wins), int(got.draws),
+                int(got.unfinished)) == \
+               (int(ref.one_wins), int(ref.two_wins), int(ref.draws),
+                int(ref.unfinished)), mc.dyn_sims
+
+
 @pytest.mark.slow
 def test_arena_host_runner_reuse(setup):
     _host_runner_check(setup, reuse=True)
