@@ -55,6 +55,13 @@ SLOW_PATTERNS = (
     "test_selfplay.py::test_unfinished_tail_has_zero_weight",
     "test_selfplay.py::test_replay_roundtrip",
     "test_selfplay.py::test_chunked_encoded_matches_dense",
+    "test_selfplay.py::test_replay_encoded_matches_dense",
+    "test_selfplay.py::test_chunked_quota_early_exit",
+    "test_selfplay.py::test_dyn_selfplay_bitexact_and_quota",
+    "test_selfplay.py::test_merged_pcr_examples_valid",
+    "test_train.py::test_arena_dyn_runner_bitexact",
+    "test_train.py::test_arena_host_runner",
+    "test_mcts_parity.py::test_mcts_prefers_immediate_win",
     "test_offline_cli.py::test_offline_train_and_inspect",
     "test_akropolis_bot.py::test_decisions_match_reference",
     "test_akropolis_bot.py::test_undefeated_beats_random",
