@@ -80,7 +80,8 @@ def make_splendor(num_players: int = 2) -> GameSpec:
     R_PCARDS = 32 + 3 * n + n * n
     R_PRESERVED = 32 + 4 * n + n * n  # 6 per player
 
-    all_cards = jnp.asarray(_ALL_CARDS_NP)          # (3,5,8,2,7)
+    all_cards_flat = jnp.asarray(
+        _ALL_CARDS_NP.reshape(120, 14).astype(np.int32))  # (120,14)
     nobles_tbl = jnp.asarray(NOBLES)                # (10,7)
     gems3 = jnp.asarray(GEMS_UP_TO_3[:, :5], jnp.int32)   # (25,5)
     gems2 = jnp.asarray(GEMS_UP_TO_2[:, :5], jnp.int32)   # (15,5)
@@ -111,6 +112,32 @@ def make_splendor(num_players: int = 2) -> GameSpec:
     def pcards(s, p):
         return s[R_PCARDS + p]
 
+    # ---------------- masked row addressing ----------------
+    # Traced-index row reads/writes are expressed as masked arithmetic over
+    # STATICALLY-indexed blocks, never as per-lane dynamic gathers/scatters
+    # on the state: under vmap those lower to (B, rows, 7) scatter/gather
+    # ops that dominate the TPU step cost (measured: step_canonical was
+    # ~31 us/lane at B=2048 before this rewrite — the same
+    # gather-vs-masked-reduce asymmetry scripts/platform_probe.py measures
+    # and search/tree.py already exploits).
+
+    iota3 = jnp.arange(3)
+    iota6 = jnp.arange(6)
+    iota24 = jnp.arange(24)
+
+    def pick_row(block32, sel):
+        """Select ONE row of an int32 (K, 7) block by a (K,) bool mask."""
+        return jnp.sum(jnp.where(sel[:, None], block32, 0), axis=0)
+
+    def put_card(block, slot, card):
+        """Write a (2, 7) card into rows (2*slot, 2*slot+1) of an int8
+        (2K, 7) block — masked write, static indexing."""
+        k2 = block.shape[0]
+        io = iota24[:k2]
+        sel = (io // 2) == slot
+        val = jnp.where((io % 2 == 0)[:, None], card[0][None], card[1][None])
+        return jnp.where(sel[:, None], val, block)
+
     # ---------------- deck draw (the chance node) ----------------
 
     def draw_deck_card(state, tier, key, seed):
@@ -119,8 +146,11 @@ def make_splendor(num_players: int = 2) -> GameSpec:
         (SplendorLogicNumba.py:306-336); seed == 0 uses the PRNG key with the
         same two-stage distribution (color ∝ count, then uniform card)."""
         s = _i32(state)
-        counts = s[R_DECK + 2 * tier, :5]                       # per color
-        bits_row = s[R_DECK + 2 * tier + 1, :5]                 # bitfields
+        tier_oh = iota3 == tier                                 # (3,)
+        counts3 = s[R_DECK:R_DECK + 6:2, :5]                    # (3,5) static
+        bits3 = s[R_DECK + 1:R_DECK + 6:2, :5]                  # (3,5) static
+        counts = pick_row(counts3, tier_oh)                     # per color
+        bits_row = pick_row(bits3, tier_oh)                     # bitfields
         bits = jax.vmap(unpack8)(bits_row)                      # (5,8)
         total = jnp.sum(counts)
         has_card = total > 0
@@ -145,24 +175,35 @@ def make_splendor(num_players: int = 2) -> GameSpec:
         pick = jnp.where(seed == 0, rand_pick, det_pick)
         color, idx = pick // 8, pick % 8
 
-        new_bits = bits.at[color, idx].set(0)
-        new_bits_row = jax.vmap(pack8)(new_bits)
-        new_counts = counts.at[color].add(-1)
-        state = state.at[R_DECK + 2 * tier, :5].set(
-            jnp.where(has_card, new_counts, counts).astype(jnp.int8))
-        state = state.at[R_DECK + 2 * tier + 1, :5].set(
-            jnp.where(has_card, new_bits_row, bits_row).astype(jnp.int8))
-        card = all_cards[tier, color, idx]                      # (2,7)
+        # clear bit (color, idx) and decrement the color count by masked
+        # arithmetic (tiny fixed shapes, no per-lane scatter)
+        hit = ((jnp.arange(5)[:, None] == color)
+               & (jnp.arange(8)[None] == idx))                 # (5,8)
+        new_bits_row = jax.vmap(pack8)(jnp.where(hit, 0, bits))
+        new_counts = counts - (jnp.arange(5) == color)
+        write = tier_oh[:, None] & has_card
+        state = state.at[R_DECK:R_DECK + 6:2, :5].set(
+            jnp.where(write, new_counts[None], counts3).astype(jnp.int8))
+        state = state.at[R_DECK + 1:R_DECK + 6:2, :5].set(
+            jnp.where(write, new_bits_row[None], bits3).astype(jnp.int8))
+        # card lookup: masked reduce over the flat 120-card table instead of
+        # a per-lane gather
+        flat = tier * 40 + pick
+        card = jnp.sum(
+            jnp.where((jnp.arange(120) == flat)[:, None], all_cards_flat, 0),
+            axis=0).astype(jnp.int8).reshape(2, 7)
         card = jnp.where(has_card, card, jnp.zeros((2, 7), jnp.int8))
         return state, card, has_card
 
     def fill_new_card(state, tier, index, key, seed):
         """Empty visible slot then refill from deck
-        (reference _fill_new_card, :338-342)."""
-        row = jnp.asarray(R_CARDS + 8 * tier + 2 * index, jnp.int32)
+        (reference _fill_new_card, :338-342).  Writes card (zeros when the
+        deck is empty) into visible slot 4*tier+index by masked write; a
+        slot >= 12 (deck-reserve dead branch) writes nowhere."""
         state, card, has = draw_deck_card(state, tier, key, seed)
-        return jax.lax.dynamic_update_slice(
-            state, card, (row, jnp.int32(0)))
+        block = state[R_CARDS:R_CARDS + 24]
+        block = put_card(block, 4 * tier + index, card)
+        return state.at[R_CARDS:R_CARDS + 24].set(block)
 
     # ---------------- buying helper ----------------
 
@@ -255,8 +296,9 @@ def make_splendor(num_players: int = 2) -> GameSpec:
         def do_buy(st):
             i = action                                          # 0..11
             tier, index = i // 4, i % 4
-            cost = st[R_CARDS + 2 * i]
-            gain = st[R_CARDS + 2 * i + 1]
+            cards24 = _i32(st)[R_CARDS:R_CARDS + 24]            # (24,7)
+            cost = pick_row(cards24, iota24 == 2 * i).astype(jnp.int8)
+            gain = pick_row(cards24, iota24 == 2 * i + 1).astype(jnp.int8)
             st = buy_card(st, cost, gain, p)
             return fill_new_card(st, tier, index, key, seed)
 
@@ -266,23 +308,25 @@ def make_splendor(num_players: int = 2) -> GameSpec:
             res = _i32(st)[R_PRESERVED:R_PRESERVED + 6:2, :5]
             empty = jnp.sum(res, axis=1) == 0
             slot = jnp.argmax(empty).astype(jnp.int32)          # 0..2
-            dst = R_PRESERVED + 2 * slot
 
             is_visible = i < 12
             tier_v, index_v = i // 4, i % 4
             tier_d = i - 12
-            tier = jnp.where(is_visible, tier_v, jnp.maximum(tier_d, 0))
 
-            # visible branch: move card rows, then refill
-            vis_card = jax.lax.dynamic_slice(
-                st, (R_CARDS + 8 * tier_v + 2 * index_v, jnp.int32(0)), (2, 7))
-            st_vis = jax.lax.dynamic_update_slice(st, vis_card,
-                (dst, jnp.int32(0)))
+            # visible branch: move card rows (masked pick), then refill
+            cards24 = _i32(st)[R_CARDS:R_CARDS + 24]
+            vis_card = jnp.stack([
+                pick_row(cards24, iota24 == 2 * i),
+                pick_row(cards24, iota24 == 2 * i + 1)]).astype(jnp.int8)
+            res_block = st[R_PRESERVED:R_PRESERVED + 6]
+            st_vis = st.at[R_PRESERVED:R_PRESERVED + 6].set(
+                put_card(res_block, slot, vis_card))
             st_vis = fill_new_card(st_vis, tier_v, index_v, key, seed)
-            # deck branch: draw directly into the reserve slot
+            # deck branch: draw directly into the reserve slot (tier_d < 0
+            # on the dead visible side just draws nothing)
             st_deck, card, _ = draw_deck_card(st, tier_d, key, seed)
-            st_deck = jax.lax.dynamic_update_slice(st_deck, card,
-                (dst, jnp.int32(0)))
+            st_deck = st_deck.at[R_PRESERVED:R_PRESERVED + 6].set(
+                put_card(st_deck[R_PRESERVED:R_PRESERVED + 6], slot, card))
             st = jnp.where(is_visible, st_vis, st_deck)
 
             # gold gem if available and player holds <= 9 gems (:398-400)
@@ -295,34 +339,34 @@ def make_splendor(num_players: int = 2) -> GameSpec:
 
         def do_buy_reserve(st):
             i = action - 27                                     # 0..2
-            base = R_PRESERVED + 6 * p
-            cost = jax.lax.dynamic_slice(st, (base + 2 * i, jnp.int32(0)),
-                                         (1, 7))[0]
-            gain = jax.lax.dynamic_slice(
-                st, (base + 2 * i + 1, jnp.int32(0)), (1, 7))[0]
+            base = R_PRESERVED + 6 * p                          # static, p=0
+            res6 = _i32(st)[base:base + 6]                      # (6,7)
+            cost = pick_row(res6, iota6 == 2 * i).astype(jnp.int8)
+            gain = pick_row(res6, iota6 == 2 * i + 1).astype(jnp.int8)
             st = buy_card(st, cost, gain, p)
-            # shift remaining reserved cards left (:417-420)
-            res = jax.lax.dynamic_slice(st, (base, 0), (6, 7))
-            rows = jnp.arange(6)
-            src = jnp.where(rows >= 2 * i, rows + 2, rows)
-            shifted = jnp.where((src < 6)[:, None], res[jnp.clip(src, 0, 5)],
-                                jnp.int8(0))
-            keep = (rows < 2 * i)[:, None]
-            res = jnp.where(keep, res, shifted)
-            return jax.lax.dynamic_update_slice(st, res, (base, 0))
+            # shift remaining reserved cards left (:417-420): rows >= 2i
+            # take the row two below (a STATIC shift), zeros past the end
+            res = st[base:base + 6]
+            down2 = jnp.concatenate([res[2:], jnp.zeros((2, 7), jnp.int8)])
+            res = jnp.where((iota6 >= 2 * i)[:, None], down2, res)
+            return st.at[base:base + 6].set(res)
 
         def do_take_gems(st):
             i = action - 30                                     # 0..29
-            g = jnp.where(i < 25, gems3[jnp.minimum(i, 24)],
-                          2 * jax.nn.one_hot(i - 25, 5, dtype=jnp.int32))
+            g3 = jnp.sum(jnp.where((jnp.arange(25) == i)[:, None], gems3, 0),
+                         axis=0)
+            g = jnp.where(i < 25, g3,
+                          2 * (jnp.arange(5) == (i - 25)).astype(jnp.int32))
             st = st.at[R_BANK, :5].add((-g).astype(jnp.int8))
             st = st.at[R_PGEMS + p, :5].add(g.astype(jnp.int8))
             return st
 
         def do_give_gems(st):
             i = action - 60                                     # 0..19
-            g = jnp.where(i < 15, gems2[jnp.minimum(i, 14)],
-                          2 * jax.nn.one_hot(i - 15, 5, dtype=jnp.int32))
+            g2 = jnp.sum(jnp.where((jnp.arange(15) == i)[:, None], gems2, 0),
+                         axis=0)
+            g = jnp.where(i < 15, g2,
+                          2 * (jnp.arange(5) == (i - 15)).astype(jnp.int32))
             st = st.at[R_BANK, :5].add(g.astype(jnp.int8))
             st = st.at[R_PGEMS + p, :5].add((-g).astype(jnp.int8))
             return st
@@ -345,27 +389,33 @@ def make_splendor(num_players: int = 2) -> GameSpec:
         k = swap % n
 
         def roll_block(st, r0, rows_per_player, total_rows):
-            block = jax.lax.dynamic_slice(st, (r0, 0), (total_rows, 7))
-            rolled = jnp.roll(block, -k * rows_per_player, axis=0)
-            return jax.lax.dynamic_update_slice(st, rolled, (r0, 0))
+            # select among the n STATIC rolls of the block — never a
+            # traced-shift roll (per-lane gather under vmap)
+            block = st[r0:r0 + total_rows]
+            rolled = block
+            for kk in range(1, n):
+                rolled = jnp.where(
+                    k == kk,
+                    jnp.roll(block, -kk * rows_per_player, axis=0), rolled)
+            return st.at[r0:r0 + total_rows].set(rolled)
 
         st = state
         st = roll_block(st, R_PGEMS, 1, n)
         st = roll_block(st, R_PNOBLES, num_nobles, n * num_nobles)
         st = roll_block(st, R_PCARDS, 1, n)
         st = roll_block(st, R_PRESERVED, 6, 6 * n)
-        return jnp.where(k == 0, state, st)
+        return st
 
     def get_round(state):
         return (state[R_BANK, IDX_POINTS].astype(jnp.int32)) & 0xFF
 
     def get_score(state, player):
         s = _i32(state)
-        pn0 = jnp.asarray(R_PNOBLES + num_nobles * player, jnp.int32)
-        return (pcards(s, player)[IDX_POINTS]
-                + jnp.sum(jax.lax.dynamic_slice(
-                    s, (pn0, jnp.int32(IDX_POINTS)),
-                    (num_nobles, 1)))).astype(jnp.float32)
+        noble_pts = s[R_PNOBLES:R_PNOBLES + n * num_nobles, IDX_POINTS]
+        sel = (jnp.arange(n * num_nobles) // num_nobles) == player
+        card_pts = s[R_PCARDS:R_PCARDS + n, IDX_POINTS]
+        return (jnp.sum(jnp.where(jnp.arange(n) == player, card_pts, 0))
+                + jnp.sum(jnp.where(sel, noble_pts, 0))).astype(jnp.float32)
 
     def terminal(state):
         """(reference check_end_game, :221-240)"""
