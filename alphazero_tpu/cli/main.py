@@ -82,6 +82,10 @@ def build_config(argv=None):
     p.add_argument("--scan-moves", type=int, default=0,
                    help="moves per self-play scan (0 = game max length)")
     p.add_argument("--replay-capacity", type=int, default=500_000)
+    p.add_argument("--numItersHistory", "-i", type=int, default=0,
+                   help=">0: train only on the newest N iterations' "
+                        "examples (reference drop-oldest history); "
+                        "0 = whole replay ring")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--smoke", action="store_true",
                    help="tiny end-to-end run for verification")
@@ -126,6 +130,7 @@ def build_config(argv=None):
             epochs=args.epochs,
             batch_size=args.batch_size, q_weight=args.q_weight,
             replay_capacity=args.replay_capacity, num_iters=args.numIters,
+            num_iters_history=args.numItersHistory,
             games_per_iter=args.numEps,
             update_threshold=args.updateThreshold,
             arena_games=args.arenaCompare,

@@ -101,7 +101,10 @@ class TrainConfig:
     value_loss_weight: float = 0.25
     replay_capacity: int = 500_000
     num_iters: int = 50
-    num_iters_history: int = 5     # --numItersHistory
+    num_iters_history: int = 0     # --numItersHistory; >0 trains only on
+    #                                the newest N iterations' examples
+    #                                (reference drop-oldest history,
+    #                                Coach.py:106,186-189); 0 = whole ring
     games_per_iter: int = 2048     # --numEps analog (games per iteration)
     # gate operating point: the reference's 30 games @ 0.60 was a CPU-cost
     # compromise (main.py:159) with ~±9% binomial noise; on TPU gate games

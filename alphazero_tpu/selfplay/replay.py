@@ -134,13 +134,18 @@ class ReplayBuffer:
         self.size = int(min(self.size + n, self.capacity))
         self.total_added += int(n)
 
-    def sample(self, rng: np.random.Generator, batch_size: int
-               ) -> Dict[str, np.ndarray]:
+    def sample(self, rng: np.random.Generator, batch_size: int,
+               window: int | None = None) -> Dict[str, np.ndarray]:
         """Uniform sampling without replacement within a batch (reference
-        GenericNNetWrapper.py:60).  Returns ENCODED rows — the trainer
-        uploads them as-is and decodes on device (codec.decode_batch)."""
-        ids = rng.choice(self.size, size=batch_size,
-                         replace=batch_size > self.size)
+        GenericNNetWrapper.py:60).  `window` restricts sampling to the
+        NEWEST `window` rows — the Coach passes the example count of the
+        last numItersHistory iterations, the reference's drop-oldest
+        example history (Coach.py:106,186-189).  Returns ENCODED rows —
+        the trainer uploads them as-is and decodes on device
+        (codec.decode_batch)."""
+        w = self.size if window is None else max(1, min(window, self.size))
+        rel = rng.choice(w, size=batch_size, replace=batch_size > w)
+        ids = (self.head - 1 - rel) % self.capacity
         return dict(
             state=self.state[ids],
             pi_vals=self.pi_vals[ids],

@@ -51,6 +51,10 @@ class Coach:
                                    holdout_lane_mod=cfg.train.holdout_lane_mod)
         self.key, k = jax.random.split(self.key)
         params = init_params(self.net, self.spec, k)
+        # per-iteration training-ring add counts: backs the reference's
+        # drop-oldest example history (numItersHistory, Coach.py:106,186-189)
+        # as a sampling window over the newest rows
+        self.iter_adds: list[int] = []
         steps_per_iter = self._train_steps_per_iter()
         self.state = init_train_state(params, cfg.train, steps_per_iter)
         self.prev_params = params  # competitor (reference pnet, Coach.py:29)
@@ -103,13 +107,25 @@ class Coach:
 
     # ------------------------------------------------------------------
 
+    def _history_window(self) -> int | None:
+        """Sampling window in rows = examples added by the newest
+        numItersHistory iterations (reference drop-oldest example history,
+        Coach.py:106,186-189); None = whole ring (history disabled)."""
+        h = self.cfg.train.num_iters_history
+        if h <= 0 or not self.iter_adds:
+            return None
+        return max(1, sum(self.iter_adds[-h:]))
+
     def _train_steps_per_iter(self) -> int:
-        """epochs passes over the CURRENT replay (the reference samples
+        """epochs passes over the kept example history (the reference samples
         epochs * len(examples)/batch_size batches, GenericNNetWrapper.py:53).
         Before any self-play, fall back to the expected first-iteration size."""
         t = self.cfg.train
         n = self.replay.size if self.replay.size > 0 \
             else min(t.replay_capacity, t.games_per_iter * 40)
+        w = self._history_window()
+        if w is not None:
+            n = min(n, w)
         return t.epochs * max(1, n // t.batch_size)
 
     def _next_key(self):
@@ -209,6 +225,7 @@ class Coach:
                 episodes += int(stats.episodes_done)
                 sims += int(stats.sims)
         dt = time.time() - t0
+        self.iter_adds.append(int(examples))
         if self.replay.size == self.replay.capacity:
             # reference warns when the example deque saturates
             # (Coach.py:111-112,163-164)
@@ -241,7 +258,8 @@ class Coach:
             # batches travel ENCODED (sparse pi + packed valids) and decode
             # on device inside the jitted chunk — the dense f32 form is ~20x
             # the bytes over the host->device link
-            samples = [self.replay.sample(self.np_rng, cfg.batch_size)
+            samples = [self.replay.sample(self.np_rng, cfg.batch_size,
+                                          window=self._history_window())
                        for _ in range(CHUNK)]
             from alphazero_tpu.parallel.mesh import host_to_global
             batches = host_to_global(
@@ -389,7 +407,9 @@ class Coach:
             tmp = os.path.join(self.cfg.checkpoint_dir, "loop_state.tmp")
             with open(tmp, "w") as f:
                 json.dump(dict(iteration=self.iteration,
-                               consecutive_failures=self.consecutive_failures),
+                               consecutive_failures=self.consecutive_failures,
+                               iter_adds=self.iter_adds[-max(
+                                   1, self.cfg.train.num_iters_history):]),
                           f)
             os.replace(tmp, os.path.join(self.cfg.checkpoint_dir,
                                          "loop_state.json"))
@@ -436,6 +456,7 @@ class Coach:
             self.iteration = int(ls.get("iteration", self.iteration))
             self.consecutive_failures = int(
                 ls.get("consecutive_failures", self.consecutive_failures))
+            self.iter_adds = [int(x) for x in ls.get("iter_adds", [])]
         replay_path = os.path.join(ckpt_dir, "replay.npz")
         if os.path.exists(replay_path):
             self.replay.load(replay_path)

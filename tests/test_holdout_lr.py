@@ -152,3 +152,27 @@ def test_coach_anneal_lr_peak_metric(tmp_path):
     # the holdout ring is being fed and used for validation
     assert coach.replay.val.size > 0
     assert m2["train"].get("val_holdout") in (True, False)
+
+
+def test_history_window_sampling():
+    """window=N restricts sampling to the NEWEST N rows, across a ring
+    wrap (the reference's numItersHistory drop-oldest example history)."""
+    spec = make_game("santorini", nb_gods=1, init_method=1)
+    buf = ReplayBuffer(64, spec.state_shape, spec.num_actions,
+                       spec.num_players, pi_budget=16)
+    # insert 100 rows with a distinguishable marker in state[0,0,0]
+    import dataclasses as dc
+    for j in range(10):
+        batch = _fake_selfplay_batch(spec, 1, 10, seed=j)
+        st = np.array(batch.state)
+        st.reshape(1, 10, -1)[..., 0] = np.arange(j * 10, (j + 1) * 10) % 120
+        buf.add_batch(dc.replace(batch, state=jnp.asarray(st)))
+    rng = np.random.default_rng(0)
+    got = buf.sample(rng, 256, window=20)
+    # newest 20 rows carry markers 80..99
+    markers = got["state"].reshape(256, -1)[:, 0].astype(np.int64)
+    assert set(markers.tolist()) <= set(range(80, 100))
+    # window=None keeps sampling the whole live ring
+    got_all = buf.sample(rng, 512)
+    all_markers = got_all["state"].reshape(512, -1)[:, 0].astype(np.int64)
+    assert len(set(all_markers.tolist())) > 30
