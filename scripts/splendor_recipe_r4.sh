@@ -35,20 +35,23 @@ resume_dir() {  # newest accepted net if any, else last temp checkpoint
     if [ -d "$CKPT/best" ]; then echo "$CKPT/best"; else echo "$CKPT/temp"; fi
 }
 
-run_stage() {  # run_stage <iters> <sims> <q> <lr> <extra...>
-    local iters=$1 sims=$2 q=$3 lr=$4; shift 4
-    echo "=== stage: iters=$iters sims=$sims q=$q lr=$lr $* ===" >> "$LOG"
+run_stage() {  # run_stage <iters> <sims> <q> <lr> <history> <extra...>
+    local iters=$1 sims=$2 q=$3 lr=$4 hist=$5; shift 5
+    echo "=== stage: iters=$iters sims=$sims q=$q lr=$lr hist=$hist $* ===" \
+        >> "$LOG"
     python -m alphazero_tpu.cli.main "${COMMON[@]}" \
-        -n "$iters" -m "$sims" -q "$q" -l "$lr" "$@" >> "$LOG" 2>&1
+        -n "$iters" -m "$sims" -q "$q" -l "$lr" -i "$hist" "$@" >> "$LOG" 2>&1
 }
 
-# each stage runs <iters> MORE iterations, resuming the same checkpoint dir
-# stage 1: -m 100 -q 0.  -l 0.003  (reference stage 1)
-run_stage 4 100 0.0 0.003
-# stage 2: -m 200 -q 0.5 -l 0.001  (reference stage 2)
-run_stage 8 200 0.5 0.001 -L "$(resume_dir)"
-# stage 3: -m 400 -q 0.5 -l 0.0003 -F  (reference stage 3)
-run_stage 12 400 0.5 0.0003 -F -L "$(resume_dir)"
-# stage 4: -m 800 -q 0.837 -l 0.0003 -F  (reference stage 4)
-run_stage "$S4_ITERS" 800 0.837 0.0003 -F -L "$(resume_dir)"
+# each stage runs <iters> MORE iterations, resuming the same checkpoint dir;
+# -i staging (example-history window 2/4/8/10) is the reference's own
+# stage sequence (README.md:157-163)
+# stage 1: -m 100 -q 0.  -l 0.003  -i 2
+run_stage 4 100 0.0 0.003 2
+# stage 2: -m 200 -q 0.5 -l 0.001  -i 4
+run_stage 8 200 0.5 0.001 4 -L "$(resume_dir)"
+# stage 3: -m 400 -q 0.5 -l 0.0003 -i 8 -F
+run_stage 12 400 0.5 0.0003 8 -F -L "$(resume_dir)"
+# stage 4: -m 800 -q 0.837 -l 0.0003 -i 10 -F
+run_stage "$S4_ITERS" 800 0.837 0.0003 10 -F -L "$(resume_dir)"
 echo "=== recipe complete ===" >> "$LOG"
