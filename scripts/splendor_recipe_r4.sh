@@ -24,7 +24,7 @@ mkdir -p "$(dirname "$CKPT")"
 
 COMMON=(splendor -C "$CKPT"
         -c 0.8 -f 0.06 -d 0.3 -u 3
-        -t 1.25 0.8 1.1 -T 6
+        -t 1.25 0.8 1.1 -T -6
         -V 1 --channels 64 --depth 4
         -P 2048 -e 2048 -b 512 -p 2
         --updateThreshold 0.6 --arenaCompare 150 -s 50
