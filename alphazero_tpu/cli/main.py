@@ -149,6 +149,8 @@ def main(argv=None):
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from alphazero_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     if args.distributed:
         jax.distributed.initialize()
 
