@@ -27,9 +27,15 @@ COMMON=(splendor -C "$CKPT"
         -t 1.25 0.8 1.1 -T -6
         -V 1 --channels 64 --depth 4
         -P 2048 -e 2048 -b 512 -p 2
-        --updateThreshold 0.6 --arenaCompare 150 -s 50
+        --updateThreshold 0.6 --arenaCompare 100 -s 50
         --ratio-fullMCTS 5 --prob-fullMCTS 0.25
-        --dyn --pcr-merged --seed 7)
+        --pcr-merged --seed 7)
+# NOTE round-4 probes (runs/probe_splendor_r4*.log): the dyn path survives
+# ONLY at sims=100 at this batch (faults at 200/400/800 — arena width, not
+# program size, crosses a kernel limit).  So stage 1 adds --dyn; stages
+# 2-4 run the scan path, which the Coach auto-chunks to 1 move/program
+# beyond safe_scan_sims (games/splendor.py:550, docs/tpu_limits.md), and
+# whose gates auto-route to the host move loop.
 
 resume_dir() {  # newest accepted net if any, else last temp checkpoint
     if [ -d "$CKPT/best" ]; then echo "$CKPT/best"; else echo "$CKPT/temp"; fi
@@ -45,13 +51,17 @@ run_stage() {  # run_stage <iters> <sims> <q> <lr> <history> <extra...>
 
 # each stage runs <iters> MORE iterations, resuming the same checkpoint dir;
 # -i staging (example-history window 2/4/8/10) is the reference's own
-# stage sequence (README.md:157-163)
-# stage 1: -m 100 -q 0.  -l 0.003  -i 2
-run_stage 4 100 0.0 0.003 2
+# stage sequence (README.md:157-163).  Iteration counts are wall-clock
+# budgeted for the round (the reference's own stages are 200-1500 episodes
+# per iteration; ours are 2048, so fewer iterations see as many games).
+# stage 1: -m 100 -q 0.  -l 0.003  -i 2   (dyn path, probed safe at 100)
+run_stage 4 100 0.0 0.003 2 --dyn
 # stage 2: -m 200 -q 0.5 -l 0.001  -i 4
-run_stage 8 200 0.5 0.001 4 -L "$(resume_dir)"
-# stage 3: -m 400 -q 0.5 -l 0.0003 -i 8 -F
-run_stage 12 400 0.5 0.0003 8 -F -L "$(resume_dir)"
-# stage 4: -m 800 -q 0.837 -l 0.0003 -i 10 -F
-run_stage "$S4_ITERS" 800 0.837 0.0003 10 -F -L "$(resume_dir)"
+run_stage 5 200 0.5 0.001 4 -L "$(resume_dir)"
+# stage 3: -m 400 -q 0.837 -l 0.0003 -i 8 -F
+run_stage 5 400 0.837 0.0003 8 -F -L "$(resume_dir)"
+# stage 4: -m 800 -q 0.837 -l 0.0003 -i 10 -F (optional, time permitting)
+if [ "$S4_ITERS" -gt 0 ]; then
+    run_stage "$S4_ITERS" 800 0.837 0.0003 10 -F -L "$(resume_dir)"
+fi
 echo "=== recipe complete ===" >> "$LOG"
