@@ -50,21 +50,46 @@ def bench_game(game, variant, *, B, sims, moves, ch, depth, tree_dtype,
     spec = make_game(game, **variant)
     net = make_net(spec, NetConfig(version=1, channels=ch, depth=depth))
     params = init_params(net, spec, jax.random.PRNGKey(0))
+    # scan-fault engines at sims<=safe_scan_sims take the dynamic path —
+    # the production stage-1 shape (scripts/splendor_recipe_r4.sh): one
+    # un-unrollable move+sim body, measured 244.6k sims/s vs the chunked
+    # path's per-chunk dispatch (docs/tpu_limits.md round-4 addendum)
+    dyn = (platform != "cpu" and spec.safe_scan_moves
+           and spec.safe_scan_moves < moves
+           and (not spec.safe_scan_sims or sims <= spec.safe_scan_sims))
     mc = MCTSConfig(num_sims=sims, ratio_full=4, prob_full=0.25,
                     forced_playouts=True, max_depth=max_depth,
-                    q_dtype=tree_dtype, prior_dtype=tree_dtype)
-    sp = SelfPlayConfig(batch_size=B)
+                    q_dtype=tree_dtype, prior_dtype=tree_dtype,
+                    dyn_sims=bool(dyn))
+    sp = SelfPlayConfig(batch_size=B, dyn=bool(dyn), pcr_split=not dyn)
 
     # production program shape: scan-fault engines chunk on TPU exactly as
     # the Coach does (train/coach.py self_play; docs/tpu_limits.md)
     chunk = 0
-    if platform != "cpu" and spec.safe_scan_moves \
+    if not dyn and platform != "cpu" and spec.safe_scan_moves \
             and spec.safe_scan_moves < moves:
         chunk = spec.safe_scan_moves
         if spec.safe_scan_sims and sims > spec.safe_scan_sims:
             chunk = 1
 
-    if chunk:
+    if dyn:
+        from alphazero_tpu.selfplay.actor import run_selfplay_dyn
+
+        def run(key):
+            batch, stats = run_selfplay_dyn(
+                spec, net, params, key, moves * B, mc=mc, sp=sp,
+                num_moves=moves, batch_size=B)
+            jax.block_until_ready(batch.state)
+            return stats
+
+        # FLOPs model: XLA cost of a 1-move scan program x moves (the dyn
+        # while_loop body does the same per-move math; cost_analysis cannot
+        # count data-dependent trips itself)
+        carry = _init_carry(spec, jax.random.PRNGKey(0), B)
+        lowered = _selfplay_chunk.lower(spec, net, params, carry, mc=mc,
+                                        sp=sp, num_moves=1, batch_size=B)
+        n_exec = moves
+    elif chunk:
         def run(key):
             batch, stats = run_selfplay_chunked(
                 spec, net, params, key, mc=mc, sp=sp, num_moves=moves,
