@@ -119,6 +119,15 @@ def bench_game(game, variant, *, B, sims, moves, ch, depth, tree_dtype,
         flops_per_exec = float(ca.get("flops", 0.0))
     except Exception:                                    # backend-dependent
         flops_per_exec = 0.0
+    if not flops_per_exec and platform != "cpu":
+        # the axon TPU plugin reports no HLO cost analysis; lower the SAME
+        # program on the CPU backend in a subprocess (FLOP counts are
+        # platform-independent) — tracing only, no compile
+        flops_per_exec = _flops_probe(
+            game=game, variant=variant, B=B, sims=sims, ch=ch, depth=depth,
+            tree_dtype=tree_dtype, max_depth=max_depth, dyn=bool(dyn),
+            prog_moves=(1 if dyn else (chunk or moves)),
+            kind=("chunk" if (dyn or chunk) else "full"))
 
     run(jax.random.PRNGKey(0))    # warmup (compile)
     t0 = time.perf_counter()
@@ -149,8 +158,57 @@ def bench_game(game, variant, *, B, sims, moves, ch, depth, tree_dtype,
     return row
 
 
+def _flops_probe(**kw) -> float:
+    """XLA FLOPs of the benched program, lowered on CPU in a subprocess."""
+    import subprocess
+    import sys
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--flops-probe", json.dumps(kw)],
+            capture_output=True, text=True, timeout=600)
+        return float(json.loads(out.stdout.strip().splitlines()[-1])["flops"])
+    except Exception:
+        return 0.0
+
+
+def _flops_probe_main(kw):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from alphazero_tpu.config import MCTSConfig, NetConfig, SelfPlayConfig
+    from alphazero_tpu.games import make_game
+    from alphazero_tpu.models import init_params, make_net
+    from alphazero_tpu.selfplay.actor import (_init_carry, _selfplay_chunk,
+                                              run_selfplay)
+
+    spec = make_game(kw["game"], **kw["variant"])
+    net = make_net(spec, NetConfig(version=1, channels=kw["ch"],
+                                   depth=kw["depth"]))
+    params = init_params(net, spec, jax.random.PRNGKey(0))
+    mc = MCTSConfig(num_sims=kw["sims"], ratio_full=4, prob_full=0.25,
+                    forced_playouts=True, max_depth=kw["max_depth"],
+                    q_dtype=kw["tree_dtype"], prior_dtype=kw["tree_dtype"],
+                    dyn_sims=kw["dyn"])
+    sp = SelfPlayConfig(batch_size=kw["B"], dyn=kw["dyn"],
+                        pcr_split=not kw["dyn"])
+    if kw["kind"] == "chunk":
+        carry = _init_carry(spec, jax.random.PRNGKey(0), kw["B"])
+        lowered = _selfplay_chunk.lower(spec, net, params, carry, mc=mc,
+                                        sp=sp, num_moves=kw["prog_moves"],
+                                        batch_size=kw["B"])
+    else:
+        lowered = run_selfplay.lower(spec, net, params, jax.random.PRNGKey(0),
+                                     mc=mc, sp=sp,
+                                     num_moves=kw["prog_moves"],
+                                     batch_size=kw["B"])
+    ca = lowered.cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    print(json.dumps({"flops": float(ca.get("flops", 0.0))}))
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--flops-probe", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--game", default=None,
                     help="bench ONE registry game instead of the default "
                     "santorini+splendor pair")
@@ -173,6 +231,10 @@ def main():
                     "configuration bit-for-bit)")
     ap.add_argument("--cpu", action="store_true", help="force CPU platform")
     args = ap.parse_args()
+
+    if args.flops_probe:
+        _flops_probe_main(json.loads(args.flops_probe))
+        return
 
     import jax
     if args.cpu:
