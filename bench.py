@@ -36,6 +36,15 @@ def peak_flops(device) -> float:
     return 0.0
 
 
+def _note(msg):
+    import sys
+    print(f"[bench +{time.perf_counter() - _T0:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
 def bench_game(game, variant, *, B, sims, moves, ch, depth, tree_dtype,
                max_depth, reps, platform):
     import jax
@@ -120,6 +129,7 @@ def bench_game(game, variant, *, B, sims, moves, ch, depth, tree_dtype,
     except Exception:                                    # backend-dependent
         flops_per_exec = 0.0
     if not flops_per_exec and platform != "cpu":
+        _note(f"{game}: flops probe (CPU subprocess)")
         # the axon TPU plugin reports no HLO cost analysis; lower the SAME
         # program on the CPU backend in a subprocess (FLOP counts are
         # platform-independent) — tracing only, no compile
@@ -129,7 +139,9 @@ def bench_game(game, variant, *, B, sims, moves, ch, depth, tree_dtype,
             prog_moves=(1 if dyn else (chunk or moves)),
             kind=("chunk" if (dyn or chunk) else "full"))
 
+    _note(f"{game}: compiling (B={B}, sims={sims}, dyn={bool(dyn)}, chunk={chunk})")
     run(jax.random.PRNGKey(0))    # warmup (compile)
+    _note(f"{game}: compiled; running {reps} reps")
     t0 = time.perf_counter()
     sims_total = 0
     moves_total = 0
@@ -239,6 +251,8 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from alphazero_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     platform = jax.devices()[0].platform
     if args.quick:
@@ -268,8 +282,20 @@ def main():
         # the committed number never hides the slowest game
         games = ["santorini", "splendor"]
 
+    def kw_for(g):
+        k = dict(kw)
+        if g == "splendor" and args.channels == 128 and args.depth == 6:
+            # production splendor net (scripts/splendor_recipe_r4.sh): the
+            # 64x4 mixer analog of the reference checkpoint's V80 — and the
+            # exact shape the dyn-path fault boundary was probed at
+            # (docs/tpu_limits.md round-4 addendum); bigger nets at this
+            # arena width are unprobed on the worker
+            k.update(ch=64, depth=4)
+        return k
+
     rows = [bench_game(g, variant_for(g),
-                       B=(B if g == "santorini" else min(B, 2048)), **kw)
+                       B=(B if g == "santorini" else min(B, 2048)),
+                       **kw_for(g))
             for g in games]
 
     head = rows[0]
