@@ -25,12 +25,17 @@ def enable_persistent_cache(path: str | None = None) -> str:
     if env == "0":
         return ""
     path = env or path or os.path.expanduser("~/.cache/alphazero_tpu_xla")
-    os.makedirs(path, exist_ok=True)
-    import jax
+    try:
+        os.makedirs(path, exist_ok=True)
+        import jax
 
-    jax.config.update("jax_compilation_cache_dir", path)
-    # cache every program (default skips sub-second compiles; tunnel
-    # round-trips make even small programs worth caching)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache every program (default skips sub-second compiles; tunnel
+        # round-trips make even small programs worth caching)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except OSError as e:       # read-only HOME (CI sandbox): compile normally
+        import warnings
+        warnings.warn(f"persistent compile cache disabled ({e})")
+        return ""
     return path

@@ -9,10 +9,19 @@ NN inference >70% of runtime (BASELINE.md; /root/reference/README_features.md:2-
 — and the SAME ~3000/s for every game (README_features.md:2).  So the default
 output carries two rows: the santorini flagship (headline `value`) and
 splendor (`extra.splendor`), the chance-heavy engine that stresses the
-program-size limits (docs/tpu_limits.md).  Each row also reports MFU: XLA
-cost-analysis FLOPs of the actual compiled self-play program divided by
-wall time and the chip's peak (the reference counts net FLOPs with fvcore,
-GenericNNetWrapper.py:389-397).
+program-size limits (docs/tpu_limits.md).  Each row also reports MFU.
+
+MFU model (round-5 fix): XLA's cost_analysis counts every loop body ONCE
+regardless of trip count (verified: lowering the self-play program at
+num_moves=2 vs 1 and sims=16 vs 8 yields identical FLOPs), so costing the
+whole lowered program understates FLOPs by the sims x moves trip counts.
+Instead we lower ONE loop-free net forward at the bench batch (counted
+correctly), divide by the batch for a per-leaf-eval cost, and multiply by
+the MEASURED evaluation count (sims_total + moves_total root evals) — the
+same net-only numerator as the reference's fvcore count
+(GenericNNetWrapper.py:389-397).  Tree walk/backup passes are elementwise
+(negligible FLOPs, all bandwidth), so this numerator is the honest MXU
+work; the denominator is wall time x chip bf16 peak.
 """
 
 import argparse
@@ -46,14 +55,13 @@ _T0 = time.perf_counter()
 
 
 def bench_game(game, variant, *, B, sims, moves, ch, depth, tree_dtype,
-               max_depth, reps, platform):
+               max_depth, reps, platform, no_dyn=False):
     import jax
 
     from alphazero_tpu.config import MCTSConfig, NetConfig, SelfPlayConfig
     from alphazero_tpu.games import make_game
     from alphazero_tpu.models import init_params, make_net
-    from alphazero_tpu.selfplay.actor import (_init_carry, _selfplay_chunk,
-                                              run_selfplay,
+    from alphazero_tpu.selfplay.actor import (run_selfplay,
                                               run_selfplay_chunked)
 
     spec = make_game(game, **variant)
@@ -63,7 +71,7 @@ def bench_game(game, variant, *, B, sims, moves, ch, depth, tree_dtype,
     # the production stage-1 shape (scripts/splendor_recipe_r4.sh): one
     # un-unrollable move+sim body, measured 244.6k sims/s vs the chunked
     # path's per-chunk dispatch (docs/tpu_limits.md round-4 addendum)
-    dyn = (platform != "cpu" and spec.safe_scan_moves
+    dyn = (not no_dyn and platform != "cpu" and spec.safe_scan_moves
            and spec.safe_scan_moves < moves
            and (not spec.safe_scan_sims or sims <= spec.safe_scan_sims))
     mc = MCTSConfig(num_sims=sims, ratio_full=4, prob_full=0.25,
@@ -91,13 +99,6 @@ def bench_game(game, variant, *, B, sims, moves, ch, depth, tree_dtype,
             jax.block_until_ready(batch.state)
             return stats
 
-        # FLOPs model: XLA cost of a 1-move scan program x moves (the dyn
-        # while_loop body does the same per-move math; cost_analysis cannot
-        # count data-dependent trips itself)
-        carry = _init_carry(spec, jax.random.PRNGKey(0), B)
-        lowered = _selfplay_chunk.lower(spec, net, params, carry, mc=mc,
-                                        sp=sp, num_moves=1, batch_size=B)
-        n_exec = moves
     elif chunk:
         def run(key):
             batch, stats = run_selfplay_chunked(
@@ -106,11 +107,6 @@ def bench_game(game, variant, *, B, sims, moves, ch, depth, tree_dtype,
             jax.block_until_ready(batch.state)
             return stats
 
-        # cost of one chunk program x executions per run
-        carry = _init_carry(spec, jax.random.PRNGKey(0), B)
-        lowered = _selfplay_chunk.lower(spec, net, params, carry, mc=mc,
-                                        sp=sp, num_moves=chunk, batch_size=B)
-        n_exec = -(-moves // chunk)
     else:
         def run(key):
             batch, stats = run_selfplay(spec, net, params, key, mc=mc,
@@ -118,26 +114,24 @@ def bench_game(game, variant, *, B, sims, moves, ch, depth, tree_dtype,
             jax.block_until_ready(batch.state)
             return stats
 
-        lowered = run_selfplay.lower(spec, net, params,
-                                     jax.random.PRNGKey(0), mc=mc, sp=sp,
-                                     num_moves=moves, batch_size=B)
-        n_exec = 1
+    # MFU numerator: per-leaf-eval net FLOPs (see module docstring) from a
+    # loop-free lowering, counted on whichever backend reports a cost
+    # analysis (the axon TPU plugin reports none -> CPU subprocess; FLOP
+    # counts are platform-independent, tracing only, no compile)
+    flops_per_eval = 0.0
     try:
+        lowered = jax.jit(net.apply).lower(
+            params, jax.numpy.zeros((B, *spec.obs_shape), jax.numpy.float32),
+            jax.numpy.ones((B, spec.num_actions), bool))
         ca = lowered.cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
-        flops_per_exec = float(ca.get("flops", 0.0))
+        flops_per_eval = float(ca.get("flops", 0.0)) / B
     except Exception:                                    # backend-dependent
-        flops_per_exec = 0.0
-    if not flops_per_exec and platform != "cpu":
-        _note(f"{game}: flops probe (CPU subprocess)")
-        # the axon TPU plugin reports no HLO cost analysis; lower the SAME
-        # program on the CPU backend in a subprocess (FLOP counts are
-        # platform-independent) — tracing only, no compile
-        flops_per_exec = _flops_probe(
-            game=game, variant=variant, B=B, sims=sims, ch=ch, depth=depth,
-            tree_dtype=tree_dtype, max_depth=max_depth, dyn=bool(dyn),
-            prog_moves=(1 if dyn else (chunk or moves)),
-            kind=("chunk" if (dyn or chunk) else "full"))
+        flops_per_eval = 0.0
+    if not flops_per_eval and platform != "cpu":
+        _note(f"{game}: net-flops probe (CPU subprocess)")
+        flops_per_eval = _flops_probe(
+            game=game, variant=variant, B=B, ch=ch, depth=depth) / B
 
     _note(f"{game}: compiling (B={B}, sims={sims}, dyn={bool(dyn)}, chunk={chunk})")
     run(jax.random.PRNGKey(0))    # warmup (compile)
@@ -151,7 +145,9 @@ def bench_game(game, variant, *, B, sims, moves, ch, depth, tree_dtype,
         moves_total += int(stats.moves)
     dt = time.perf_counter() - t0
 
-    flops_per_s = flops_per_exec * n_exec * reps / dt
+    # every counted sim ends in one leaf net eval; every move adds one root
+    # eval.  (PCR fast lanes are already reflected in the measured counts.)
+    flops_per_s = flops_per_eval * (sims_total + moves_total) / dt
     peak = peak_flops(jax.devices()[0])
     row = {
         "game": spec.name,
@@ -171,7 +167,12 @@ def bench_game(game, variant, *, B, sims, moves, ch, depth, tree_dtype,
 
 
 def _flops_probe(**kw) -> float:
-    """XLA FLOPs of the benched program, lowered on CPU in a subprocess."""
+    """XLA FLOPs of ONE net forward at the bench batch, lowered on CPU in
+    a subprocess (loop-free, so cost_analysis counts it correctly).
+
+    Cross-checked against the analytic dense-net estimate 2*params*B: the
+    XLA count additionally includes the mixer's token-mix matmuls at their
+    true cost and the masked-softmax head, and agrees within ~2x."""
     import subprocess
     import sys
     try:
@@ -185,34 +186,20 @@ def _flops_probe(**kw) -> float:
 
 def _flops_probe_main(kw):
     import jax
+    import jax.numpy as jnp
     jax.config.update("jax_platforms", "cpu")
 
-    from alphazero_tpu.config import MCTSConfig, NetConfig, SelfPlayConfig
+    from alphazero_tpu.config import NetConfig
     from alphazero_tpu.games import make_game
     from alphazero_tpu.models import init_params, make_net
-    from alphazero_tpu.selfplay.actor import (_init_carry, _selfplay_chunk,
-                                              run_selfplay)
 
     spec = make_game(kw["game"], **kw["variant"])
     net = make_net(spec, NetConfig(version=1, channels=kw["ch"],
                                    depth=kw["depth"]))
     params = init_params(net, spec, jax.random.PRNGKey(0))
-    mc = MCTSConfig(num_sims=kw["sims"], ratio_full=4, prob_full=0.25,
-                    forced_playouts=True, max_depth=kw["max_depth"],
-                    q_dtype=kw["tree_dtype"], prior_dtype=kw["tree_dtype"],
-                    dyn_sims=kw["dyn"])
-    sp = SelfPlayConfig(batch_size=kw["B"], dyn=kw["dyn"],
-                        pcr_split=not kw["dyn"])
-    if kw["kind"] == "chunk":
-        carry = _init_carry(spec, jax.random.PRNGKey(0), kw["B"])
-        lowered = _selfplay_chunk.lower(spec, net, params, carry, mc=mc,
-                                        sp=sp, num_moves=kw["prog_moves"],
-                                        batch_size=kw["B"])
-    else:
-        lowered = run_selfplay.lower(spec, net, params, jax.random.PRNGKey(0),
-                                     mc=mc, sp=sp,
-                                     num_moves=kw["prog_moves"],
-                                     batch_size=kw["B"])
+    lowered = jax.jit(net.apply).lower(
+        params, jnp.zeros((kw["B"], *spec.obs_shape), jnp.float32),
+        jnp.ones((kw["B"], spec.num_actions), bool))
     ca = lowered.cost_analysis()
     ca = ca[0] if isinstance(ca, list) else ca
     print(json.dumps({"flops": float(ca.get("flops", 0.0))}))
@@ -232,8 +219,15 @@ def main():
                     help="parallel games (0 = auto)")
     ap.add_argument("--sims", type=int, default=100)
     ap.add_argument("--moves", type=int, default=16)
-    ap.add_argument("--channels", type=int, default=128)
-    ap.add_argument("--depth", type=int, default=6)
+    # None sentinels so an EXPLICIT --channels 128 is distinguishable from
+    # the default (kw_for only rewrites splendor's net when neither flag
+    # was given)
+    ap.add_argument("--channels", type=int, default=None)
+    ap.add_argument("--depth", type=int, default=None)
+    ap.add_argument("--no-dyn", action="store_true",
+                    help="force the scan/chunk path even where the dyn "
+                    "path is probed safe (escape hatch for unprobed "
+                    "(batch, net) shapes)")
     ap.add_argument("--max-depth", type=int, default=0,
                     help="tree descent depth cap (0 = unbounded/exact); "
                     "capped revisits back up the node's stored Q")
@@ -255,12 +249,14 @@ def main():
     enable_persistent_cache()
 
     platform = jax.devices()[0].platform
+    net_explicit = args.channels is not None or args.depth is not None
     if args.quick:
         B, sims, moves, ch, depth, reps = 32, 16, 4, 32, 2, 1
     else:
         B = args.batch or (4096 if platform != "cpu" else 64)
-        sims, moves, ch, depth, reps = (args.sims, args.moves, args.channels,
-                                        args.depth, 3)
+        sims, moves, reps = args.sims, args.moves, 3
+        ch = args.channels if args.channels is not None else 128
+        depth = args.depth if args.depth is not None else 6
 
     def variant_for(game):
         if args.variant is not None:
@@ -271,7 +267,7 @@ def main():
 
     kw = dict(sims=sims, moves=moves, ch=ch, depth=depth,
               tree_dtype=args.tree_dtype, max_depth=args.max_depth,
-              reps=reps, platform=platform)
+              reps=reps, platform=platform, no_dyn=args.no_dyn)
 
     if args.game:
         games = [args.game]
@@ -284,7 +280,7 @@ def main():
 
     def kw_for(g):
         k = dict(kw)
-        if g == "splendor" and args.channels == 128 and args.depth == 6:
+        if g == "splendor" and not net_explicit and not args.quick:
             # production splendor net (scripts/splendor_recipe_r4.sh): the
             # 64x4 mixer analog of the reference checkpoint's V80 — and the
             # exact shape the dyn-path fault boundary was probed at

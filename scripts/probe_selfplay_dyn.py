@@ -7,7 +7,8 @@ and survive ANY num_moves/num_sims.  Run under `timeout` from a driver —
 a fault kills this child only.
 
 usage: probe_selfplay_dyn.py MOVES BATCH SIMS UNIV FORCED CH DEPTH \
-           [PCR_SPLIT=1] [DYN_SIMS=1] [QUOTA=0] [GAME=splendor]
+           [PCR_SPLIT=1] [DYN_SIMS=1] [QUOTA=0] [GAME=splendor] \
+           [TREE_DTYPE=float32]
 """
 import sys
 import time
@@ -26,12 +27,14 @@ pcr_split = bool(int(sys.argv[8])) if len(sys.argv) > 8 else True
 dyn_sims = bool(int(sys.argv[9])) if len(sys.argv) > 9 else True
 quota = int(sys.argv[10]) if len(sys.argv) > 10 else 0
 game = sys.argv[11] if len(sys.argv) > 11 else "splendor"
+tree_dtype = sys.argv[12] if len(sys.argv) > 12 else "float32"
 
 spec = make_game(game)
 net = make_net(spec, NetConfig(version=1, channels=ch, depth=depth))
 params = init_params(net, spec, jax.random.PRNGKey(0))
 mc = MCTSConfig(num_sims=sims, universes=univ, forced_playouts=bool(forced),
-                cpuct=2.5, fpu=0.1, dyn_sims=dyn_sims)
+                cpuct=2.5, fpu=0.1, dyn_sims=dyn_sims,
+                q_dtype=tree_dtype, prior_dtype=tree_dtype)
 sp = SelfPlayConfig(batch_size=batch, pcr_split=pcr_split, dyn=True)
 q = quota or moves * batch
 

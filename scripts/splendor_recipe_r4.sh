@@ -59,6 +59,10 @@ run_stage 4 100 0.0 0.003 2 --dyn
 # stage 2: -m 200 -q 0.5 -l 0.001  -i 4
 run_stage 5 200 0.5 0.001 4 -L "$(resume_dir)"
 # stage 3: -m 400 -q 0.837 -l 0.0003 -i 8 -F
+# NOTE: the README's staged schedule is q 0.5 -> 1.0 (README.md:157-163);
+# stages 3-4 here use q=0.837 instead — the FINAL q_weight embedded in the
+# committed pretrained_2players.pt's args, i.e. what that checkpoint was
+# actually trained with, deviating deliberately from the README prose.
 run_stage 5 400 0.837 0.0003 8 -F -L "$(resume_dir)"
 # stage 4: -m 800 -q 0.837 -l 0.0003 -i 10 -F (optional, time permitting)
 if [ "$S4_ITERS" -gt 0 ]; then
