@@ -50,6 +50,9 @@ def build_config(argv=None):
                    help="run PCR full+fast lanes in ONE per-lane-budget "
                         "search instead of two right-sized ones: ~half the "
                         "compiled per-move body, more device compute")
+    p.add_argument("--dyn-stages", type=int, default=1,
+                   help=">1: run the dyn sim while_loop in k width stages "
+                        "(bit-exact staging savings; k tunnel compiles)")
     p.add_argument("--dyn", action="store_true",
                    help="dynamic self-play: data-dependent move while_loop "
                         "(+ dyn_sims) — ONE small compiled program with "
@@ -74,6 +77,10 @@ def build_config(argv=None):
     p.add_argument("--channels", type=int, default=128)
     p.add_argument("--depth", type=int, default=6)
     p.add_argument("--q-weight", "-q", type=float, default=0.5)
+    p.add_argument("--value-loss-weight", type=float, default=0.25,
+                   help="weight of the value MSE in the total loss "
+                        "(reference surprise_weight analog, 0.25; the "
+                        "round-5 value-head study measures raising it)")
     p.add_argument("--updateThreshold", type=float, default=0.55)
     p.add_argument("--arenaCompare", type=int, default=300)
     p.add_argument("--stop-after-N-fail", "-s", type=int, default=25)
@@ -118,7 +125,8 @@ def build_config(argv=None):
             ratio_full=args.ratio_fullMCTS, prob_full=args.prob_fullMCTS,
             universes=args.universes, max_depth=args.max_depth,
             q_dtype=args.tree_dtype, prior_dtype=args.tree_dtype,
-            arena_stages=args.arena_stages, dyn_sims=args.dyn),
+            arena_stages=args.arena_stages, dyn_sims=args.dyn,
+            dyn_stages=args.dyn_stages),
         selfplay=SelfPlayConfig(
             batch_size=args.selfplay_batch, temp_begin=args.temperature[0],
             temp_end=args.temperature[1], temp_half_life=args.tempThreshold,
@@ -129,6 +137,7 @@ def build_config(argv=None):
             lr_anneal_iters=args.lr_anneal_iters, lr_final=args.lr_final,
             epochs=args.epochs,
             batch_size=args.batch_size, q_weight=args.q_weight,
+            value_loss_weight=args.value_loss_weight,
             replay_capacity=args.replay_capacity, num_iters=args.numIters,
             num_iters_history=args.numItersHistory,
             games_per_iter=args.numEps,
@@ -151,6 +160,10 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     from alphazero_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
+    # timestamped "Compiling <fn>" lines in the train log: in-run sims/s
+    # swings (35k-203k in the round-4 recipe) are only diagnosable if the
+    # log shows WHICH iterations paid a (re)compile vs a cache hit
+    jax.config.update("jax_log_compiles", True)
     if args.distributed:
         jax.distributed.initialize()
 

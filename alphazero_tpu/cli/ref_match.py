@@ -28,7 +28,7 @@ import time
 def main(argv=None):
     p = argparse.ArgumentParser(description="alphazero_tpu vs reference .pt")
     p.add_argument("checkpoint", help="our checkpoint dir")
-    p.add_argument("--game", choices=("santorini", "splendor"),
+    p.add_argument("--game", choices=("santorini", "splendor", "abalone"),
                    default="santorini")
     p.add_argument("--ref-dir", default=None)
     p.add_argument("--ref-file", default=None)
@@ -73,6 +73,17 @@ def main(argv=None):
         ref_game = G.SantoriniGame()
         expect_actions = 162
         our_variant = dict(nb_gods=1, init_method=1)
+    elif args.game == "abalone":
+        from tests.reference_oracle import import_reference_abalone
+        import_reference_abalone(initial_layout=1)
+        args.ref_dir = args.ref_dir or "/root/reference/abalone"
+        args.ref_file = args.ref_file or "pretrained_BelgianDaisy.pt"
+        import MCTS as MCTSmod
+        import abalone.AbaloneGame as G
+        from abalone.NNet import NNetWrapper
+        ref_game = G.AbaloneGame()
+        expect_actions = 3402
+        our_variant = dict(initial_layout=1)
     else:
         from tests.reference_oracle import import_reference_splendor
         import_reference_splendor(num_players=2)

@@ -44,6 +44,15 @@ class MCTSConfig:
     #                                (docs/tpu_limits.md).  Bit-exact with
     #                                the scan path; forces a full-width
     #                                arena (no staging savings)
+    dyn_stages: int = 1            # >1: run the dyn_sims while_loop in k
+    #                                width stages over growing arenas (same
+    #                                plan as arena_stages, same bit-exact
+    #                                padding) — recovers the staging savings
+    #                                dyn_sims otherwise forfeits (per-sim
+    #                                pass cost scales with arena width).
+    #                                Default 1 = the round-4 single
+    #                                full-width loop; k>1 compiles k loop
+    #                                bodies (k tunnel compiles, cached)
     arena_stages: int = 4          # run the sim scan in k stages over growing
     #                                node arenas (sim s only needs s+1 nodes,
     #                                and per-sim pass cost scales with arena

@@ -119,7 +119,10 @@ def mcts_search(spec: GameSpec, eval_fn: EvalFn, eval_args,
     # growing arenas (pure padding between stages — bit-exact).  Disabled
     # when a reused subtree seeds the arena: its width is dynamic per lane.
     n_steps_plan = num_sims_max + (1 if init_tree is not None else 0)
-    k_stages = 1 if init_tree is not None else max(1, cfg.arena_stages)
+    # the dyn path has its own (default-off) staging knob: dyn_stages>1
+    # splits the while_loop into k width stages (one compiled body each)
+    k_plan = cfg.dyn_stages if cfg.dyn_sims else cfg.arena_stages
+    k_stages = 1 if init_tree is not None else max(1, k_plan)
     total_sims = n_steps_plan - 1
     if k_stages > 1 and total_sims > k_stages:
         ends = sorted({1 + (total_sims * k) // k_stages
@@ -204,30 +207,36 @@ def mcts_search(spec: GameSpec, eval_fn: EvalFn, eval_args,
     if cfg.dyn_sims:
         # DATA-DEPENDENT trip count: the simulation loop runs to the max
         # live budget as a lax.while_loop the backend cannot unroll — the
-        # compiled program is one sim body regardless of num_sims (the
-        # known-trip-count scans below are what blow up compile resources
-        # on scan-fault engines, docs/tpu_limits.md).  Bit-exact with the
-        # scan path: identical sim_idx stream, inactive sims are masked
-        # no-ops either way.  Requires a full-width arena (stage_sizes[-1]).
-        if stage_sizes[0] != N:
-            t, b, c = carry
-            dn = N - t.prior.shape[1]
-            t = grow_tree(t, N)
-            b = jnp.pad(b, ((0, 0), (0, dn)))
-            c = jnp.pad(c, ((0, 0), (0, dn)), constant_values=-1)
-            carry = (t, b, c)
+        # compiled program is one sim body per width stage regardless of
+        # num_sims (the known-trip-count scans below are what blow up
+        # compile resources on scan-fault engines, docs/tpu_limits.md).
+        # Bit-exact with the scan path: identical sim_idx stream, inactive
+        # sims are masked no-ops either way.  dyn_stages=1 (default) is the
+        # round-4 single full-width loop; dyn_stages>1 runs the while_loop
+        # in k width stages over the same grow-and-pad plan as the scan
+        # path, recovering the staging savings (per-sim pass cost scales
+        # with arena width).  A stage whose window is already past the max
+        # live budget has a false cond immediately and costs only padding.
         end_dyn = jnp.minimum(jnp.max(eff_budgets) + 1,
                               jnp.int32(n_steps_plan))
-
-        def cond(st):
-            return st[0] < end_dyn
 
         def body(st):
             sim_idx, c = st
             c, _ = one_sim(c, sim_idx)
             return (sim_idx + 1, c)
 
-        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(1), carry))
+        sim_c = jnp.int32(1)
+        for end, size in zip(ends, stage_sizes):
+            t, b, c = carry
+            if size > t.prior.shape[1]:
+                dn = size - t.prior.shape[1]
+                t = grow_tree(t, size)
+                b = jnp.pad(b, ((0, 0), (0, dn)))
+                c = jnp.pad(c, ((0, 0), (0, dn)), constant_values=-1)
+            carry = (t, b, c)
+            end_k = jnp.minimum(end_dyn, jnp.int32(end))
+            sim_c, carry = jax.lax.while_loop(
+                lambda st, e=end_k: st[0] < e, body, (sim_c, carry))
     else:
         start = 1
         for end, size in zip(ends, stage_sizes):

@@ -74,10 +74,15 @@ def bench_game(game, variant, *, B, sims, moves, ch, depth, tree_dtype,
     dyn = (not no_dyn and platform != "cpu" and spec.safe_scan_moves
            and spec.safe_scan_moves < moves
            and (not spec.safe_scan_sims or sims <= spec.safe_scan_sims))
+    # dyn_stages=4: the round-5 width-staging lever (bit-exact,
+    # tests/test_selfplay.py::test_dyn_staged_bitexact).  Attribution at
+    # this shape (runs/perf_attr_r5.log, committed in STRENGTH_r05.md):
+    # dense tree passes + game kernels are ~92% of per-sim cost and scale
+    # with arena width; staging cuts mean width to ~63% of full.
     mc = MCTSConfig(num_sims=sims, ratio_full=4, prob_full=0.25,
                     forced_playouts=True, max_depth=max_depth,
                     q_dtype=tree_dtype, prior_dtype=tree_dtype,
-                    dyn_sims=bool(dyn))
+                    dyn_sims=bool(dyn), dyn_stages=(4 if dyn else 1))
     sp = SelfPlayConfig(batch_size=B, dyn=bool(dyn), pcr_split=not dyn)
 
     # production program shape: scan-fault engines chunk on TPU exactly as

@@ -36,6 +36,10 @@ def timed(fn, carry, r1, r2):
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--game", default="santorini")
+    p.add_argument("--variant", default=None,
+                   help='game variant JSON (santorini default: '
+                        '{"nb_gods":1,"init_method":1})')
     p.add_argument("--batch", type=int, default=2048)
     p.add_argument("--sims", type=int, default=100)
     p.add_argument("--channels", type=int, default=128)
@@ -46,6 +50,8 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from alphazero_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import functools
 
     import jax.numpy as jnp
@@ -56,8 +62,12 @@ def main():
     from alphazero_tpu.search import tree as T
     from alphazero_tpu.search.mcts import mcts_search
 
+    import json
     B, S = args.batch, args.sims
-    spec = make_game("santorini", nb_gods=1, init_method=1)
+    variant = (json.loads(args.variant) if args.variant else
+               (dict(nb_gods=1, init_method=1)
+                if args.game == "santorini" else {}))
+    spec = make_game(args.game, **variant)
     net = make_net(spec, NetConfig(version=1, channels=args.channels,
                                    depth=args.depth))
     params = init_params(net, spec, jax.random.PRNGKey(0))
@@ -94,10 +104,18 @@ def main():
             return jax.lax.fori_loop(0, r, body, (key, acc))
         return run
 
+    def report(name, t):
+        print(f"  {name:24s} {t*1e6:9.1f} µs/it  -> {B/t:12.0f} sims/s-equiv",
+              flush=True)
+
+    print(f"game={spec.name} B={B} S={S}  (per-sim seconds; sims/s = B/t)",
+          flush=True)
     # --- full search & tree-only (stub NN) ---------------------------------
     c0 = (key, jnp.float32(0))
     t_full = timed(search_r(real_eval), c0, 2, 4) / S
+    report("full sim", t_full)
     t_tree = timed(search_r(stub_eval), c0, 2, 4) / S
+    report("tree-only sim", t_tree)
 
     # --- NN alone ----------------------------------------------------------
     obs = jax.vmap(spec.observe)(states)
@@ -111,6 +129,7 @@ def main():
         return jax.lax.fori_loop(0, r, body, c)
 
     t_nn = timed(nn_r, obs.astype(jnp.float32), 4, 12)
+    report("nn eval", t_nn)
 
     # --- game kernels alone ------------------------------------------------
     @functools.partial(jax.jit, static_argnames=("r",))
@@ -126,6 +145,7 @@ def main():
         return jax.lax.fori_loop(0, r, body, c)
 
     t_game = timed(game_r, states, 4, 12)
+    report("game kernels", t_game)
 
     # --- walk alone (on a grown tree) --------------------------------------
     trees = T.make_tree(spec, B, S + 1, jnp.bfloat16, jnp.bfloat16)
@@ -143,14 +163,9 @@ def main():
         return jax.lax.fori_loop(0, r, body, (c, jnp.int32(0)))
 
     t_walkpuct = timed(walk_r, trees, 4, 12)
-
-    print(f"B={B} S={S}  (per-sim seconds; sims/s = B/t)")
-    for name, t in [("full sim", t_full), ("tree-only sim", t_tree),
-                    ("nn eval", t_nn), ("game kernels", t_game),
-                    ("puct+walk (root tree)", t_walkpuct)]:
-        print(f"  {name:24s} {t*1e6:9.1f} µs  -> {B/t:12.0f} sims/s-equiv")
+    report("puct+walk (root tree)", t_walkpuct)
     print(f"  nn share ≈ {100*(t_full-t_tree)/t_full:.1f}%  "
-          f"(full {B/t_full:.0f} sims/s)")
+          f"(full {B/t_full:.0f} sims/s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -58,6 +58,7 @@ SLOW_PATTERNS = (
     "test_selfplay.py::test_replay_encoded_matches_dense",
     "test_selfplay.py::test_chunked_quota_early_exit",
     "test_selfplay.py::test_dyn_selfplay_bitexact_and_quota",
+    "test_selfplay.py::test_dyn_staged_bitexact",
     "test_selfplay.py::test_merged_pcr_examples_valid",
     "test_train.py::test_arena_dyn_runner_bitexact",
     "test_train.py::test_arena_host_runner",

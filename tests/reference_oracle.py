@@ -142,6 +142,23 @@ def import_reference_santorini(nb_gods: int = 1, init_method: int = 0):
     return L
 
 
+def import_reference_abalone(initial_layout: int = 1):
+    """Import the reference Abalone logic with a patched INITIAL_LAYOUT
+    (0 Classic / 1 Belgian Daisy / 2 German Daisy — the committed
+    pretrained_BelgianDaisy.pt was trained at the default layout 1,
+    /root/reference/abalone/AbaloneLogicNumba.py:5)."""
+    install_numba_stub()
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    for mod in list(sys.modules):
+        if mod.startswith("abalone"):
+            del sys.modules[mod]
+    import abalone.AbaloneLogicNumba as L
+
+    L.INITIAL_LAYOUT = initial_layout
+    return L
+
+
 def make_oracle_board(L, nb_gods: int = 1):
     """Construct a reference Board in the deterministic variant.
 
@@ -180,11 +197,38 @@ def install_ort_stub():
     # torchvision: imported at SantoriniNNet module scope for the MobileNet
     # versions; the committed pretrained nets (V89) use plain torch blocks
     if "torchvision" not in sys.modules:
+        import torch.nn as _nn
+
+        class InvertedResidual(_nn.Module):
+            """Functional re-implementation of torchvision's MobileNetV3
+            block for UNPICKLING the reference's committed .pt models
+            (e.g. abalone/pretrained_*.pt pickle the full_model, whose
+            GLOBALs name this class): instance state (``block``,
+            ``use_res_connect``) is restored from the pickle; only the
+            forward semantics are needed here."""
+
+            def forward(self, x):
+                result = self.block(x)
+                if self.use_res_connect:
+                    result = result + x
+                return result
+
+        class Conv2dNormActivation(_nn.Sequential):
+            """torchvision.ops.misc.Conv2dNormActivation is an
+            nn.Sequential subclass; Sequential.forward is the behavior."""
+
         tv = types.ModuleType("torchvision")
         models = types.ModuleType("torchvision.models")
         mnv3 = types.ModuleType("torchvision.models.mobilenetv3")
         mnv3.InvertedResidualConfig = _unavailable
-        mnv3.InvertedResidual = _unavailable
+        mnv3.InvertedResidual = InvertedResidual
+        ops = types.ModuleType("torchvision.ops")
+        ops_misc = types.ModuleType("torchvision.ops.misc")
+        ops_misc.Conv2dNormActivation = Conv2dNormActivation
+        ops.misc = ops_misc
+        tv.ops = ops
+        sys.modules["torchvision.ops"] = ops
+        sys.modules["torchvision.ops.misc"] = ops_misc
         utils = types.ModuleType("torchvision.models._utils")
 
         def _make_divisible(v, divisor, min_value=None):

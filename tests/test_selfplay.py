@@ -221,6 +221,33 @@ def test_dyn_selfplay_bitexact_and_quota(setup):
     assert int(st.moves) < 48 * 8  # stopped before the buffer filled
 
 
+def test_dyn_staged_bitexact(setup):
+    """dyn_stages>1 (the dyn while_loop split into k width stages over
+    growing arenas — the round-5 staging lever) is BIT-IDENTICAL to the
+    single full-width dyn loop AND to the scan path."""
+    import dataclasses
+
+    from alphazero_tpu.selfplay.actor import run_selfplay_dyn
+
+    spec, net, params = setup
+    mc = MCTSConfig(num_sims=16, ratio_full=4, prob_full=0.5,
+                    forced_playouts=True, dyn_sims=True)
+    sp = SelfPlayConfig(batch_size=8)
+    kw = dict(sp=sp, num_moves=48, batch_size=8)
+    ref, ref_stats = run_selfplay_dyn(spec, net, params,
+                                      jax.random.PRNGKey(1), 10_000,
+                                      mc=mc, **kw)
+    for k in (3, 4):
+        got, got_stats = run_selfplay_dyn(
+            spec, net, params, jax.random.PRNGKey(1), 10_000,
+            mc=dataclasses.replace(mc, dyn_stages=k), **kw)
+        assert int(got_stats.episodes_done) == int(ref_stats.episodes_done)
+        for f in ("state", "pi", "z", "q", "valids", "weight"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)),
+                err_msg=f"dyn_stages={k} field {f} differs")
+
+
 def test_merged_pcr_examples_valid(setup):
     """pcr_split=False: ONE merged per-lane-budget search (the small-program
     mode for engines near the TPU size fault) must yield the same example
