@@ -24,6 +24,16 @@ jax.config.update("jax_default_matmul_precision", "float32")
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8
 
+# Persistent XLA compile cache across test runs: the fast lane's wall time
+# is dominated by recompiling the SAME tiny jitted programs every run
+# (~110 s of single-core CPU, most of it XLA).  Cache keys include platform
+# + flags + HLO, so correctness is structural; first run is unchanged,
+# subsequent runs skip the recompiles.  (utils.compile_cache fails soft on
+# read-only HOME.)
+from alphazero_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 
 # ---------------------------------------------------------------------------
 # Fast/slow tiering.  The default run (pytest.ini addopts -m "not slow")
