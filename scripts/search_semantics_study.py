@@ -24,6 +24,8 @@ def main():
     p.add_argument("--games", type=int, default=512)
     p.add_argument("--sims", type=int, default=100)
     p.add_argument("--caps", type=int, nargs="+", default=[8, 24])
+    p.add_argument("--skip-santorini", action="store_true")
+    p.add_argument("--skip-splendor", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", default=None)
     args = p.parse_args()
@@ -125,7 +127,9 @@ def main():
 
     # Santorini (trained net when available)
     spec_s = make_game("santorini", nb_gods=1, init_method=1)
-    if args.ckpt:
+    if args.skip_santorini:
+        pass
+    elif args.ckpt:
         cfg = load_config(args.ckpt)
         net_s = make_net(spec_s, cfg.net)
         params_s, _, _, _ = load_checkpoint(
@@ -135,16 +139,18 @@ def main():
         net_s = make_net(spec_s, NetConfig(version=1, channels=64, depth=3))
         params_s = init_params(net_s, spec_s, jax.random.PRNGKey(0))
         base_s = MCTSConfig()
-    for cap in args.caps:
-        duel("santorini", spec_s, net_s, params_s, base_s, cap)
+    if not args.skip_santorini:
+        for cap in args.caps:
+            duel("santorini", spec_s, net_s, params_s, base_s, cap)
 
     # Splendor (chance game; untrained net isolates pure search semantics)
-    spec_p = make_game("splendor", num_players=2)
-    net_p = make_net(spec_p, NetConfig(version=1, channels=64, depth=3))
-    params_p = init_params(net_p, spec_p, jax.random.PRNGKey(1))
-    for cap in args.caps:
-        duel("splendor", spec_p, net_p, params_p,
-             MCTSConfig(universes=1), cap)
+    if not args.skip_splendor:
+        spec_p = make_game("splendor", num_players=2)
+        net_p = make_net(spec_p, NetConfig(version=1, channels=64, depth=3))
+        params_p = init_params(net_p, spec_p, jax.random.PRNGKey(1))
+        for cap in args.caps:
+            duel("splendor", spec_p, net_p, params_p,
+                 MCTSConfig(universes=1), cap)
 
     if args.out:
         with open(args.out, "a") as f:
