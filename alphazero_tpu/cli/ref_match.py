@@ -28,7 +28,8 @@ import time
 def main(argv=None):
     p = argparse.ArgumentParser(description="alphazero_tpu vs reference .pt")
     p.add_argument("checkpoint", help="our checkpoint dir")
-    p.add_argument("--game", choices=("santorini", "splendor", "abalone"),
+    p.add_argument("--game",
+                   choices=("santorini", "splendor", "abalone", "azul"),
                    default="santorini")
     p.add_argument("--ref-dir", default=None)
     p.add_argument("--ref-file", default=None)
@@ -73,6 +74,17 @@ def main(argv=None):
         ref_game = G.SantoriniGame()
         expect_actions = 162
         our_variant = dict(nb_gods=1, init_method=1)
+    elif args.game == "azul":
+        from tests.reference_oracle import import_reference_azul
+        import_reference_azul()
+        args.ref_dir = args.ref_dir or "/root/reference/azul"
+        args.ref_file = args.ref_file or "pretrained.pt"
+        import MCTS as MCTSmod
+        import azul.AzulGame as G
+        from azul.NNet import NNetWrapper
+        ref_game = G.AzulGame()
+        expect_actions = 180
+        our_variant = {}
     elif args.game == "abalone":
         from tests.reference_oracle import import_reference_abalone
         import_reference_abalone(initial_layout=1)

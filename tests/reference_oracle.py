@@ -159,6 +159,26 @@ def import_reference_abalone(initial_layout: int = 1):
     return L
 
 
+def import_reference_azul():
+    """Import the reference Azul logic (2-player default, AzulGame.py:9).
+    The committed pretrained.pt pickles only torch-native module classes,
+    so no torchvision shims are needed for it."""
+    install_numba_stub()
+    install_colorama_stub()
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    for mod in list(sys.modules):
+        if mod.startswith("azul"):
+            del sys.modules[mod]
+    import azul.AzulLogicNumba as L
+
+    # numba promotes 30*(p+1) with p int8; pure numpy overflows — widen
+    # the symmetry table for the stubbed oracle (same fix as the parity
+    # suite, tests/test_azul_parity.py)
+    L.np_factory_symmetries = L.np_factory_symmetries.astype(np.int64)
+    return L
+
+
 def make_oracle_board(L, nb_gods: int = 1):
     """Construct a reference Board in the deterministic variant.
 
