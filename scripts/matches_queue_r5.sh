@@ -15,13 +15,8 @@ while ! grep -q "CHIP QUEUE DONE" runs/chip_queue_r5.log 2>/dev/null; do
     sleep 120
 done
 
-# 1. Splendor north star at 100 sims (the headline row)
-log "splendor ref_match 100 sims start"
-timeout 4800 python -m alphazero_tpu.cli.ref_match \
-    artifacts/strength/ckpts/splendor_r5_best --game splendor \
-    -n 30 -m 100 --ref-sims 100 --seed 42 \
-    --out artifacts/strength/ref_match.jsonl >> "$M" 2>&1
-log "splendor100 rc=$?"
+# (the splendor 100-sims headline row runs MANUALLY right after the
+# recipe stops — see runs/matches_queue_r5.log / ref_match.jsonl)
 
 # 2. Akropolis vs the Undefeated bot (reference ~75% anchor)
 log "akropolis vs undefeated start"
