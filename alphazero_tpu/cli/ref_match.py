@@ -29,7 +29,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="alphazero_tpu vs reference .pt")
     p.add_argument("checkpoint", help="our checkpoint dir")
     p.add_argument("--game",
-                   choices=("santorini", "splendor", "abalone", "azul"),
+                   choices=("santorini", "splendor", "abalone", "azul",
+                            "minivilles"),
                    default="santorini")
     p.add_argument("--ref-dir", default=None)
     p.add_argument("--ref-file", default=None)
@@ -85,6 +86,17 @@ def main(argv=None):
         ref_game = G.AzulGame()
         expect_actions = 180
         our_variant = {}
+    elif args.game == "minivilles":
+        from tests.reference_oracle import import_reference_minivilles
+        import_reference_minivilles()
+        args.ref_dir = args.ref_dir or "/root/reference/minivilles"
+        args.ref_file = args.ref_file or "pretrained_2players.pt"
+        import MCTS as MCTSmod
+        import minivilles.MinivillesGame as G
+        from minivilles.NNet import NNetWrapper
+        ref_game = G.MinivillesGame()
+        expect_actions = 21
+        our_variant = dict(num_players=2)
     elif args.game == "abalone":
         from tests.reference_oracle import import_reference_abalone
         import_reference_abalone(initial_layout=1)

@@ -23,7 +23,7 @@ print(jax.jit(lambda x: x + 1)(jnp.ones(())))" >> "$L" 2>&1; then
 done
 
 log "azul train take 2 (dyn path) start"
-timeout 6000 python -m alphazero_tpu.cli.main azul -C runs/azul_r5b \
+timeout 9900 python -m alphazero_tpu.cli.main azul -C runs/azul_r5b \
     -n 20 -m 100 -V 1 --channels 128 --depth 6 \
     -P 2048 -e 2048 -b 512 -p 4 -i 5 -l 0.002 -q 0.5 -u 3 \
     --dyn --pcr-merged \

@@ -179,6 +179,21 @@ def import_reference_azul():
     return L
 
 
+def import_reference_minivilles():
+    """Import the reference Minivilles logic (2-player default,
+    MinivillesGame.py:9).  Its pretrained pickles reference only classes
+    from minivilles.MinivillesNNet itself (no torchvision)."""
+    install_numba_stub()
+    install_colorama_stub()
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    for mod in list(sys.modules):
+        if mod.startswith("minivilles"):
+            del sys.modules[mod]
+    import minivilles.MinivillesLogicNumba as L
+    return L
+
+
 def make_oracle_board(L, nb_gods: int = 1):
     """Construct a reference Board in the deterministic variant.
 
