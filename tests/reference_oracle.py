@@ -85,6 +85,7 @@ def install_colorama_stub():
     col.Style = _Style()
     col.Fore = _Style()
     col.Back = _Style()
+    col.init = lambda *a, **k: None
     sys.modules["colorama"] = col
 
 
@@ -252,6 +253,18 @@ def install_ort_stub():
             """torchvision.ops.misc.Conv2dNormActivation is an
             nn.Sequential subclass; Sequential.forward is the behavior."""
 
+        class SqueezeExcitation(_nn.Module):
+            """torchvision.ops.misc.SqueezeExcitation forward semantics;
+            submodules (avgpool/fc1/fc2/activation/scale_activation) are
+            restored from the pickle."""
+
+            def forward(self, x):
+                scale = self.avgpool(x)
+                scale = self.fc1(scale)
+                scale = self.activation(scale)
+                scale = self.fc2(scale)
+                return self.scale_activation(scale) * x
+
         tv = types.ModuleType("torchvision")
         models = types.ModuleType("torchvision.models")
         mnv3 = types.ModuleType("torchvision.models.mobilenetv3")
@@ -260,6 +273,7 @@ def install_ort_stub():
         ops = types.ModuleType("torchvision.ops")
         ops_misc = types.ModuleType("torchvision.ops.misc")
         ops_misc.Conv2dNormActivation = Conv2dNormActivation
+        ops_misc.SqueezeExcitation = SqueezeExcitation
         ops.misc = ops_misc
         tv.ops = ops
         sys.modules["torchvision.ops"] = ops
