@@ -28,6 +28,11 @@ sys.path.insert(0, "/root/repo")
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("-n", "--num-games", type=int, default=16)
+    p.add_argument("--ours", default=None,
+                   help="our checkpoint dir: play OUR net (mcts_player at "
+                   "--our-sims) against the REFERENCE net instead of the "
+                   "Undefeated bot — the direct net-vs-net parity measure")
+    p.add_argument("--our-sims", type=int, default=100)
     p.add_argument("--ref-sims", type=int, default=100)
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--out", default=None)
@@ -84,11 +89,31 @@ def main():
     from alphazero_tpu.players import play_host_game
 
     spec = make_game("akropolis")
-    wins = [0, 0, 0]  # ref net, our bot, draws
+    if args.ours:
+        import dataclasses
+
+        from alphazero_tpu import players as pl
+        from alphazero_tpu.models import init_params, make_net
+        from alphazero_tpu.train.checkpoint import (load_checkpoint,
+                                                    load_config)
+        cfg = load_config(args.ours)
+        our_net = make_net(spec, cfg.net)
+        params, _, _, _ = load_checkpoint(
+            args.ours, init_params(our_net, spec, jax.random.PRNGKey(0)))
+        mcfg = dataclasses.replace(cfg.mcts, num_sims=args.our_sims)
+
+        def make_opponent():
+            return pl.mcts_player(spec, our_net, params, mcfg)
+        opp_name = args.ours
+    else:
+        def make_opponent():
+            return UndefeatedPlayer(spec, platform="cpu")
+        opp_name = "undefeated bot"
+    wins = [0, 0, 0]  # ref net, opponent, draws
     t0 = time.time()
     for g in range(args.num_games):
         ref_player = make_ref_player()
-        bot = UndefeatedPlayer(spec, platform="cpu")
+        bot = make_opponent()
         seats = [ref_player, bot] if g % 2 == 0 else [bot, ref_player]
         result, moves = play_host_game(spec, seats,
                                        jax.random.PRNGKey(args.seed + g))
@@ -99,7 +124,7 @@ def main():
               f"in {moves} moves (running ref {wins[0]} - bot {wins[1]} - "
               f"{wins[2]})", flush=True)
 
-    out = dict(matchup="reference pretrained_2pl vs OUR undefeated bot",
+    out = dict(matchup=f"reference pretrained_2pl vs {opp_name}",
                game="akropolis", ref_sims=args.ref_sims,
                ref_net_wins=wins[0], bot_wins=wins[1], draws=wins[2],
                games=args.num_games, seed=args.seed,
